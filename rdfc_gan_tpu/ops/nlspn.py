@@ -196,16 +196,19 @@ def nlspn_propagate(
     assert C == 1, "NLSPN propagates a single-channel feature (nlspn_model.py:17)"
     idx, w = precompute_taps(offsets, aff, spec.prop_kernel)
 
+    # propagate in >= f32 (bf16 accumulates error over 18 steps)
+    acc_dtype = jnp.promote_types(feat_init.dtype, jnp.float32)
+
     fix_flat = fix_mask_flat = None
     if spec.preserve_input:
         assert feat_fix is not None
-        fix_flat = feat_fix.reshape(B, H * W)
+        fix_flat = feat_fix.reshape(B, H * W).astype(acc_dtype)
         fix_mask_flat = jax.lax.stop_gradient(fix_flat > 0.0)
 
     out = _propagate_scan(
-        feat_init.reshape(B, H * W).astype(jnp.float32),
+        feat_init.reshape(B, H * W).astype(acc_dtype),
         idx,
-        w.astype(jnp.float32),
+        w.astype(acc_dtype),
         spec.prop_time,
         fix_flat,
         fix_mask_flat,

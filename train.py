@@ -1,0 +1,129 @@
+"""Training driver — parity with RDFC-GAN/train.py:1-189.
+
+Flow: parse config (defaults <- YAML <- CLI), seed, build loaders, cache two
+fixed vis batches, build engine, optional load/resume, dump merged config to
+work_dir, then the epoch loop: train_step per batch, moving-average logging
+every log_interval, sample dumps every sample_interval, rank-0 checkpoint
+every save_interval epochs, eval every val_interval with best.pth tracking on
+min RMSE (criterion_to_get_best_ckpt).
+
+TPU deltas: the NCCL init / DDP wrapping / LOCAL_RANK plumbing is replaced by
+a jax Mesh; batches are placed with a NamedSharding and XLA handles every
+collective. LR scheduling lives inside the optimizer schedule (per-epoch
+factor), so there is no explicit update_learning_rate call.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from rdfc_gan_tpu.cli import parse_config
+from rdfc_gan_tpu.config import dump_config
+from rdfc_gan_tpu.data import DataLoader
+from rdfc_gan_tpu.engines import build_engine
+from rdfc_gan_tpu.evaluator import Eval
+from rdfc_gan_tpu.parallel import make_mesh, replicate_state, shard_batch
+from rdfc_gan_tpu.registry import build_dataset
+from rdfc_gan_tpu.utils import Logger, MovingAverage, set_random_seed
+from rdfc_gan_tpu.utils.checkpoint import load_checkpoint, resume_from, save_checkpoint
+
+
+def get_dataloaders(cfg, mesh):
+    from rdfc_gan_tpu.parallel import data_sharding
+
+    common = dict(num_classes=cfg.num_classes, seed=cfg.seed)
+    ds_kwargs = dict(data_root=cfg.data_root, **common)
+    if cfg.dataset == "synthetic":
+        ds_kwargs = dict(height=cfg.out_height, width=cfg.out_width, **common)
+    train_ds = build_dataset(dict(type=cfg.dataset, mode="train", **ds_kwargs))
+    val_ds = build_dataset(dict(type=cfg.dataset, mode="val", **ds_kwargs))
+    sh = data_sharding(mesh)
+    n_dev = mesh.devices.size
+    train_loader = DataLoader(train_ds, cfg.batch_size * n_dev, shuffle=True,
+                              drop_last=True, seed=cfg.seed, sharding=sh)
+    val_loader = DataLoader(val_ds, cfg.batch_size * n_dev, shuffle=False,
+                            drop_last=True, seed=cfg.seed, sharding=sh)
+    return train_loader, val_loader
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    root_key = set_random_seed(cfg.seed)
+    logger = Logger(cfg.work_dir)
+    logger.log(f"devices: {jax.devices()}")
+
+    mesh = make_mesh(cfg.get("mesh_shape"))
+    train_loader, val_loader = get_dataloaders(cfg, mesh)
+    logger.log(f"train batches/epoch: {len(train_loader)}")
+
+    engine = build_engine(cfg, is_train=True,
+                          steps_per_epoch=len(train_loader))
+
+    sample_batch = next(iter(train_loader))
+    state = engine.init_state(root_key, sample_batch)
+    state = replicate_state(state, mesh)
+
+    start_epoch = cfg.epoch
+    if cfg.resume_from:
+        state, start_epoch = resume_from(state, cfg.resume_from)
+        logger.log(f"resumed from {cfg.resume_from} at epoch {start_epoch}")
+    elif cfg.load_from:
+        state, meta = load_checkpoint(state, cfg.load_from)
+        logger.log(f"loaded {cfg.load_from} (epoch {meta.get('epoch')})")
+
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    dump_config(cfg, os.path.join(cfg.work_dir, "config.yaml"))
+
+    evaluator = Eval(val_loader)
+    avg = MovingAverage(window=cfg.log_interval)
+    best = float("inf")
+    minimize = cfg.criterion_to_get_best_ckpt in ("RMSE", "MAE", "iRMSE",
+                                                  "iMAE", "REL")
+    it = 0
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.n_epochs):
+        train_loader.set_epoch(epoch)
+        if hasattr(train_loader.dataset, "set_epoch"):
+            train_loader.dataset.set_epoch(epoch)
+        for i, batch in enumerate(train_loader):
+            step_key = jax.random.fold_in(root_key, it)
+            state, stats = engine.train_step(state, batch, step_key)
+            it += 1
+            avg.update({k: float(v) for k, v in stats.items()})
+            if it % cfg.log_interval == 0:
+                m = avg.mean()
+                ips = cfg.log_interval * batch["rgb"].shape[0] / (
+                    time.time() - t0)
+                t0 = time.time()
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                logger.log(f"epoch {epoch} iter {i} ({ips:.1f} img/s) {msg}")
+                logger.add_scalars(m, it)
+
+        if (epoch + 1) % cfg.save_interval == 0:
+            save_checkpoint(state, os.path.join(cfg.work_dir,
+                                                f"epoch_{epoch + 1}.ckpt"),
+                            meta=dict(epoch=epoch + 1,
+                                      batch_size=cfg.batch_size))
+
+        if (epoch + 1) % cfg.val_interval == 0 and \
+                (epoch + 1) >= cfg.start_eval_epoch:
+            ret = evaluator.evaluate(engine, state, logger)
+            crit = ret[cfg.criterion_to_get_best_ckpt]
+            improved = crit < best if minimize else crit > best
+            if improved:
+                best = crit
+                save_checkpoint(state, os.path.join(cfg.work_dir, "best.ckpt"),
+                                meta=dict(epoch=epoch + 1, best=best))
+                logger.log(f"new best {cfg.criterion_to_get_best_ckpt}: {best}")
+
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
