@@ -106,12 +106,18 @@ class BaseEngine:
     # -- helpers -------------------------------------------------------------
     def _init_net(self, rng, name: str, *example_inputs, train=False,
                   extra_rngs=()) -> tuple:
-        """Init one flax module; returns (params, batch_stats)."""
+        """Init one flax module; returns (params, batch_stats).
+
+        The init is jitted: un-jitted flax init dispatches thousands of tiny
+        eager ops, which is pathological over a remote-tunnel TPU."""
+        import functools
+
         mod = self.modules[name]
         rngs = {"params": rng}
         for i, er in enumerate(extra_rngs):
             rngs[er] = jax.random.fold_in(rng, i + 1)
-        variables = mod.init(rngs, *example_inputs, train=train)
+        init_fn = jax.jit(functools.partial(mod.init, train=train))
+        variables = init_fn(rngs, *example_inputs)
         return variables.get("params", {}), variables.get("batch_stats", {})
 
     @staticmethod

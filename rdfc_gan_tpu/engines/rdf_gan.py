@@ -50,8 +50,10 @@ class RDFGAN(BaseEngine):
         rgb = sample_batch["rgb"]
         raw = sample_batch["raw_depth"]
         kg, kd = jax.random.split(rng)
-        g_params, g_stats = self._init_net(kg, "G", rgb, raw)
-        d_params, d_stats = self._init_net(kd, "D", raw)
+        g_params, g_stats = self._init_net(kg, "G", rgb, raw,
+                                           train=self.is_train)
+        d_params, d_stats = self._init_net(kd, "D", raw,
+                                           train=self.is_train)
         params = {"G": g_params, "D": d_params}
         stats = {"G": g_stats, "D": d_stats}
         opt_states = {}

@@ -92,7 +92,11 @@ class RDFCGAN(BaseEngine):
         }
         for k, key in zip(NET_KEYS, keys):
             extra = ("dropout",) if k == "G_label" else ()
+            # init in the mode the net will be applied in: conditional
+            # submodules (PSPNet aux head, ESANet side outputs) only
+            # materialize params in train mode
             params[k], stats[k] = self._init_net(key, k, *inits[k],
+                                                 train=self.is_train,
                                                  extra_rngs=extra)
         opt_states = {}
         if self.is_train:

@@ -1,0 +1,79 @@
+"""DCVGANGenerator — the v1 (RDF-GAN, CVPR'22) guided generator.
+
+Parity target: RDF-GAN/lib/models/generator/rdf_gan_generator/
+rdf_gan_generator.py:12-361 — the same two-branch fusion topology as
+RDFGenerator, but the semantic branch consumes a 40-channel segmentation map
+from an ESANetOneModality guidance module (:231-240), and forward returns the
+5-tuple (depth1, conf1, depth2, conf2, final) (:360). The no-guidance variant
+(RDF-GAN/.../rdf_gan_generator_no_guidance/, semantic_channels_in=3) is the
+``guidance=None`` configuration.
+
+Here the guided variant composes our ESANetOneModality + RDFGenerator core;
+the guidance module's logits feed the semantic branch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..registry import GENERATORS
+from .esanet import ESANetOneModality
+from .rdf_generator import RDFGenerator
+
+
+class DCVGANGenerator(nn.Module):
+    use_guidance: bool = True
+    guidance_classes: int = 40
+    guidance_encoder: str = "resnet18"
+    encoder_rgb: str = "resnet18"
+    encoder_depth: str = "resnet18"
+    use_nlspn_refine: bool = True
+    nlspn_configs: Optional[dict] = None
+    rgb_channels_encoder: Sequence[int] = (64, 64, 128, 256, 512, 512)
+    depth_channels_encoder: Sequence[int] = (64, 64, 128, 256, 512, 512)
+    rgb_channels_decoder: Sequence[int] = (256, 128, 64, 64)
+    depth_channels_decoder: Sequence[int] = (256, 128, 64, 64)
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        if self.use_guidance:
+            self.global_guidance_module = ESANetOneModality(
+                num_classes=self.guidance_classes,
+                encoder=self.guidance_encoder,
+                weighting_in_encoder="SE-add",
+                upsampling="learned-3x3-zeropad",
+                pyramid_supervision=False,
+                axis_name=self.axis_name)
+        self.core = RDFGenerator(
+            encoder_rgb=self.encoder_rgb,
+            encoder_depth=self.encoder_depth,
+            semantic_channels_in=(self.guidance_classes if self.use_guidance
+                                  else 3),
+            use_nlspn_refine=self.use_nlspn_refine,
+            nlspn_configs=self.nlspn_configs,
+            rgb_channels_encoder=self.rgb_channels_encoder,
+            depth_channels_encoder=self.depth_channels_encoder,
+            rgb_channels_decoder=self.rgb_channels_decoder,
+            depth_channels_decoder=self.depth_channels_decoder,
+            axis_name=self.axis_name)
+
+    def __call__(self, rgb, depth, train: bool = True
+                 ) -> Tuple[jnp.ndarray, ...]:
+        if self.use_guidance:
+            guidance = self.global_guidance_module(rgb, train=False if not
+                                                   train else train)
+            if isinstance(guidance, (tuple, list)):
+                guidance = guidance[0]
+        else:
+            guidance = rgb
+        ret = self.core(rgb, depth, guidance, train=train)
+        # v1 contract: 5-tuple (rdf_gan_generator.py:360)
+        return (ret["depth_map_1"], ret["confidence_map_1"],
+                ret["depth_map_2"], ret["confidence_map_2"],
+                ret["pred_depth"])
+
+
+GENERATORS.register("DCVGANGenerator")(DCVGANGenerator)

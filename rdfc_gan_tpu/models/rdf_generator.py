@@ -44,6 +44,11 @@ class RDFGenerator(nn.Module):
     depth_channels_decoder: Sequence[int] = (256, 128, 64, 64)
     use_nlspn_refine: bool = False
     nlspn_configs: Optional[dict] = None
+    # 'gather' = reference-exact bilinear gather; 'stencil' = gather-free
+    # static-shift reformulation (exact when |offset| <= nlspn_offset_radius);
+    # 'auto' = Pallas VMEM-resident stencil on TPU, XLA stencil elsewhere.
+    nlspn_impl: str = "auto"
+    nlspn_offset_radius: int = 2
     axis_name: Optional[str] = None
 
     def _fuse_channels(self, level: int) -> int:
@@ -195,8 +200,24 @@ class RDFGenerator(nn.Module):
             raw = self.conv_offset_aff(guide)
             offsets, aff = nlspn_offset_affinity(
                 raw, confidence, self.aff_scale_const, self.nlspn_spec)
-            depth_map_2 = nlspn_propagate(
-                pred_init, offsets, aff, self.nlspn_spec, feat_fix=origin_depth)
+            if self.nlspn_impl == "gather":
+                depth_map_2 = nlspn_propagate(
+                    pred_init, offsets, aff, self.nlspn_spec,
+                    feat_fix=origin_depth)
+            else:
+                from ..ops.nlspn_stencil import build_shift_masks
+                from ..ops.pallas.nlspn_kernel import propagate_auto
+
+                M = build_shift_masks(offsets, aff,
+                                      self.nlspn_spec.prop_kernel,
+                                      self.nlspn_offset_radius)
+                depth_map_2 = propagate_auto(
+                    pred_init, M, self.nlspn_spec.prop_time,
+                    self.nlspn_offset_radius,
+                    feat_fix=origin_depth,
+                    preserve_input=self.nlspn_spec.preserve_input,
+                    use_pallas={"stencil": "never", "pallas": "always",
+                                "auto": "auto"}[self.nlspn_impl])
         else:
             depth_map_2 = pred_init
         depth_map_2 = jnp.clip(depth_map_2, -1.0, 1.0)

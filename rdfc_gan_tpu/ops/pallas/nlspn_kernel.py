@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: NLSPN stencil propagation fully resident in VMEM.
+
+The gather-free stencil formulation (ops/nlspn_stencil.py) turns each of the
+``prop_time`` refinement iterations into |S|^2 fused multiply-adds of
+statically shifted feature planes. This kernel keeps the feature map, the
+padded scratch AND the whole per-shift mask stack in VMEM across ALL
+iterations — one HBM read of the masks total, versus one per iteration for
+the XLA scan (and versus 26 separate CUDA kernel launches with full HBM
+round-trips in the reference, modulated_deform_conv_cuda.cu).
+
+VMEM budget at (224, 304), R=2 (S=8): masks 8*8*H*W bf16 ≈ 8.3 MiB + padded
+scratch/accumulator ≈ 0.6 MiB — fits the ~16 MiB/core budget. Larger R or
+resolutions should drop to the XLA stencil (auto fallback in nlspn_propagate
+dispatcher).
+
+Gradients: ``nlspn_stencil_propagate_pallas`` carries a custom_vjp whose
+backward re-runs the mathematically identical XLA stencil under jax.vjp —
+deterministic gather-free transpose (the CUDA backward needs atomicAdd
+scatter; SURVEY.md §5 race-detection row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nlspn_stencil import shift_window, stencil_propagate
+
+
+def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, fp, *,
+            T: int, S: int, lo: int, pad: int, preserve: bool):
+    H, W = feat_ref.shape[1], feat_ref.shape[2]
+    # zero the padded scratch once; borders stay zero (CUDA zero-pad parity)
+    fp[...] = jnp.zeros_like(fp)
+
+    def body(t, feat):
+        if preserve:
+            feat = jnp.where(fixmask_ref[0] != 0, fix_ref[0], feat)
+        fp[pad:pad + H, pad:pad + W] = feat
+        acc = jnp.zeros((H, W), jnp.float32)
+        for iy in range(S):
+            for ix in range(S):
+                dy, dx = lo + iy, lo + ix
+                m = M_ref[0, iy, ix].astype(jnp.float32)
+                acc = acc + m * fp[pad + dy:pad + dy + H,
+                                   pad + dx:pad + dx + W]
+        return acc
+
+    out_ref[0] = jax.lax.fori_loop(0, T, body, feat_ref[0].astype(jnp.float32))
+
+
+def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
+    B, H, W = feat0.shape
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    pad = max(-lo, hi)
+
+    kernel = functools.partial(_kernel, T=T, S=S, lo=lo, pad=pad,
+                               preserve=preserve)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32)],
+    )(feat0, M, fix, fixmask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def nlspn_stencil_propagate_pallas(feat_init, M, feat_fix, prop_time: int,
+                                   R: int = 2, preserve_input: bool = False):
+    """feat_init: (B,H,W,1); M: (B,S,S,H,W); feat_fix: (B,H,W,1) (ignored
+    unless preserve_input). Returns (B,H,W,1) float32."""
+    B, H, W, _ = feat_init.shape
+    feat0 = feat_init[..., 0].astype(jnp.float32)
+    fix = feat_fix[..., 0].astype(jnp.float32)
+    fixmask = (fix > 0.0).astype(jnp.float32)
+    out = _pallas_forward(feat0, M.astype(jnp.bfloat16), fix, fixmask,
+                          prop_time, R, preserve_input)
+    return out[..., None].astype(feat_init.dtype)
+
+
+def _fwd(feat_init, M, feat_fix, prop_time, R, preserve_input):
+    out = nlspn_stencil_propagate_pallas(feat_init, M, feat_fix, prop_time,
+                                         R, preserve_input)
+    return out, (feat_init, M, feat_fix)
+
+
+def _bwd(prop_time, R, preserve_input, res, g):
+    feat_init, M, feat_fix = res
+
+    def ref(feat_init, M, feat_fix):
+        return stencil_propagate(feat_init, M, prop_time, R,
+                                 feat_fix=feat_fix,
+                                 preserve_input=preserve_input)
+
+    _, vjp = jax.vjp(ref, feat_init, M, feat_fix)
+    return vjp(g.astype(feat_init.dtype))
+
+
+nlspn_stencil_propagate_pallas.defvjp(_fwd, _bwd)
+
+
+def propagate_auto(feat_init, M, prop_time: int, R: int = 2,
+                   feat_fix: Optional[jnp.ndarray] = None,
+                   preserve_input: bool = False,
+                   use_pallas: str = "auto"):
+    """Dispatch: Pallas kernel on TPU when the mask stack fits VMEM, else the
+    pure-XLA stencil. ``use_pallas``: auto | always | never."""
+    B, H, W, _ = feat_init.shape
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    vmem_need = S * S * H * W * 2 + 3 * (H + 2 * 4) * (W + 2 * 4) * 4
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    ok = use_pallas == "always" or (
+        use_pallas == "auto" and on_tpu and vmem_need < 12 * 1024 * 1024)
+    if ok:
+        fix = feat_fix if feat_fix is not None else jnp.zeros_like(feat_init)
+        return nlspn_stencil_propagate_pallas(feat_init, M, fix, prop_time,
+                                              R, preserve_input)
+    return stencil_propagate(feat_init, M, prop_time, R, feat_fix=feat_fix,
+                             preserve_input=preserve_input)

@@ -1,0 +1,116 @@
+"""PyTorch checkpoint -> flax pytree conversion utilities.
+
+SURVEY.md §7.2 step 9: released reference checkpoints
+(``{net}_state_dict`` keys per lib/utils/checkpoint.py:27-30) map onto our
+GANTrainState params/batch_stats with:
+  * conv weights OIHW -> HWIO transpose;
+  * transposed-conv weights: torch stores (Cin, Cout, kh, kw) and correlates
+    with flipped kernels relative to flax ConvTranspose — (2,3,0,1) transpose
+    + spatial flip;
+  * linear (out,in) -> (in,out);
+  * BatchNorm weight/bias/running_mean/running_var ->
+    scale/bias + batch_stats mean/var;
+  * EqualLinear: the reference stores ``weight_orig`` and rescales by
+    sqrt(2/fan_in) at call time (model_utils.py:7-36); our EqualLinear stores
+    the SAME unscaled tensor, so ``weight_orig`` maps verbatim (transposed).
+
+``convert_tensor`` handles the per-tensor layout; ``walk_state_dict`` groups
+a torch state dict by module prefix so engine-specific name maps stay small.
+No released checkpoints ship with the reference repo; these utilities are
+exercised by synthetic round-trip tests (tests/test_torch_convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def convert_tensor(name: str, t: np.ndarray) -> Tuple[str, np.ndarray]:
+    """Map one torch parameter to (flax leaf name, converted array)."""
+    arr = np.asarray(t)
+    leaf = name.rsplit(".", 1)[-1]
+    if leaf in ("weight", "weight_orig"):
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            return "kernel", arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:  # linear (out,in) -> (in,out)
+            return "kernel" if leaf == "weight" else "weight", arr.T
+        return "scale", arr  # norm affine weight
+    if leaf == "bias":
+        return "bias", arr
+    if leaf == "running_mean":
+        return "mean", arr
+    if leaf == "running_var":
+        return "var", arr
+    return leaf, arr
+
+
+def convert_convtranspose_weight(arr: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> flax (kh, kw, Cin, Cout)
+    with spatial flip (flax ConvTranspose uses the correlation convention)."""
+    return np.asarray(arr).transpose(2, 3, 0, 1)[::-1, ::-1]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file to numpy without CUDA. Accepts either a raw state
+    dict or the reference's multi-net schema (``{k}_state_dict``)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu")
+    if isinstance(obj, dict) and any(k.endswith("_state_dict") for k in obj):
+        out = {}
+        for k, v in obj.items():
+            if k.endswith("_state_dict") and not k.endswith(
+                    ("optimizer_state_dict", "lr_scheduler_state_dict")):
+                net = k[: -len("_state_dict")]
+                for pk, pv in v.items():
+                    out[f"{net}.{pk}"] = pv.numpy()
+        return out
+    return {k: v.numpy() for k, v in obj.items()}
+
+
+def walk_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
+    """Group flat torch names by module prefix: 'a.b.weight' -> {'a.b': {...}}."""
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, arr in sd.items():
+        prefix, leaf = name.rsplit(".", 1)
+        groups.setdefault(prefix, {})[leaf] = arr
+    return groups
+
+
+def torchvision_resnet_to_stages(sd: Dict[str, np.ndarray],
+                                 prefix: str = "") -> Dict[str, Any]:
+    """Map torchvision resnet18/34 layerN.* weights onto our ResNetStage
+    param tree layout (BasicBlock: Conv_0/Conv_1[/Conv_2 downsample] +
+    BatchNorm_0/1/2)."""
+    out: Dict[str, Any] = {}
+    groups = walk_state_dict(sd)
+    for layer in range(1, 5):
+        block_idx = 0
+        stage: Dict[str, Any] = {}
+        while f"{prefix}layer{layer}.{block_idx}.conv1" in groups:
+            g = lambda s: groups[f"{prefix}layer{layer}.{block_idx}.{s}"]
+            blk: Dict[str, Any] = {
+                "Conv_0": {"kernel": g("conv1")["weight"].transpose(2, 3, 1, 0)},
+                "Conv_1": {"kernel": g("conv2")["weight"].transpose(2, 3, 1, 0)},
+                "BatchNorm_0": _bn(g("bn1")),
+                "BatchNorm_1": _bn(g("bn2")),
+            }
+            ds = f"{prefix}layer{layer}.{block_idx}.downsample.0"
+            if ds in groups:
+                blk["Conv_2"] = {
+                    "kernel": groups[ds]["weight"].transpose(2, 3, 1, 0)}
+                blk["BatchNorm_2"] = _bn(
+                    groups[f"{prefix}layer{layer}.{block_idx}.downsample.1"])
+            stage[f"BasicBlock_{block_idx}"] = blk
+            block_idx += 1
+        out[f"layer{layer}"] = stage
+    return out
+
+
+def _bn(g: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    return {
+        "params": {"scale": g["weight"], "bias": g["bias"]},
+        "batch_stats": {"mean": g["running_mean"], "var": g["running_var"]},
+    }

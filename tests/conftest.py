@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-sets jax_platforms='axon,cpu' at interpreter
+# start, overriding the env var — override it back before first backend use.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from rdfc_gan_tpu.data import DataLoader, SyntheticDataset
+from rdfc_gan_tpu.data.pseudo_hole import (MaskBlacks, SegmentationHighLight,
+                                           Spatter, hole_image)
+from rdfc_gan_tpu.data.sunrgbd import SUNRGBDPseudoDataset
+from rdfc_gan_tpu.data.transforms import (CenterCrop, Compose,
+                                          CutOffBlackBorder, Normalize,
+                                          RandomCrop, RandomFlip,
+                                          RandomRescale, Rescale,
+                                          SparseSampler)
+
+
+def _sample(h=40, w=50, rng=None):
+    rng = rng or np.random.RandomState(0)
+    return dict(
+        rgb=rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+        raw_depth=rng.uniform(0, 10, (h, w, 1)).astype(np.float32),
+        gt_depth=rng.uniform(0.5, 10, (h, w, 1)).astype(np.float32),
+        gt_normal=rng.normal(size=(h, w, 3)).astype(np.float32),
+        labels=rng.randint(0, 14, (h, w)).astype(np.int32),
+    )
+
+
+def test_normalize_zero_preserving():
+    s = _sample()
+    s["raw_depth"][5:10, 5:10] = 0.0
+    out = Normalize()(dict(s), np.random.default_rng(0))
+    assert np.all(out["raw_depth"][5:10, 5:10] == 0.0)
+    # non-hole pixels normalized by (5,5)
+    assert out["gt_depth"].max() <= 1.0 + 1e-5
+    assert out["rgb"].min() >= -1.0 - 1e-5
+
+
+def test_flip_negates_normal_x():
+    s = _sample()
+    g = np.random.default_rng(0)
+    flipped = RandomFlip(p=1.0)(dict(s), g)
+    np.testing.assert_allclose(flipped["gt_normal"][..., 0],
+                               -s["gt_normal"][:, ::-1, 0])
+    np.testing.assert_allclose(flipped["rgb"], s["rgb"][:, ::-1])
+
+
+def test_crops_and_rescale():
+    s = _sample(40, 50)
+    g = np.random.default_rng(0)
+    out = Compose([RandomRescale(1.2, 1.2), RandomCrop(32, 40)])(dict(s), g)
+    assert out["rgb"].shape == (32, 40, 3)
+    assert out["labels"].shape == (32, 40)
+    out2 = CenterCrop(16, 20)(dict(out), g)
+    assert out2["raw_depth"].shape == (16, 20, 1)
+    out3 = Rescale(8, 10)(dict(out2), g)
+    assert out3["gt_normal"].shape == (8, 10, 3)
+
+
+def test_cutoff_black_border():
+    s = _sample(480, 640)
+    out = CutOffBlackBorder()(dict(s))
+    assert out["rgb"].shape == (480 - 45 - 15, 640 - 45 - 40, 3)
+
+
+def test_sparse_sampler_counts():
+    s = _sample()
+    g = np.random.default_rng(0)
+    out = SparseSampler(num_samples=100)(dict(s), g)
+    assert (out["raw_depth"] > 0).sum() == 100
+
+
+def test_hole_image_zeroes():
+    img = np.ones((40, 50), np.float32)
+    out = hole_image(img, 8, 8, 3, np.random.default_rng(0))
+    holes = (out == 0).sum()
+    # the reference's no-overlap bookkeeping indexes the optional-region
+    # grid transposed (pseudo_hole.py:26-30), so rectangles CAN overlap;
+    # we reproduce that behavior: 1..3 rectangles of 64 px
+    assert 64 <= holes <= 3 * 8 * 8
+
+
+def test_spatter_fraction():
+    s = {"raw_depth": np.ones((64, 64), np.float32)}
+    mask = Spatter(percentile_void=0.05)(s, np.random.default_rng(0))
+    frac = mask.mean()
+    assert 0.02 < frac < 0.10
+
+
+def test_mask_blacks_and_highlight():
+    rgb = np.full((8, 8, 3), 128.0)
+    rgb[:2, :2] = 0.0  # black corner
+    m = MaskBlacks()({"rgb": rgb})
+    assert m[:2, :2].all() and not m[2:, 2:].any()
+    rgb2 = np.full((8, 8, 3), 250.0)  # saturated white -> highlight
+    m2 = SegmentationHighLight()({"rgb": rgb2})
+    assert m2.all()
+
+
+def test_sunrgbd_bitshift_decode():
+    # encode depth 1.234m into the SUNRGBD uint16 format: value stored
+    # left-shifted by 3 (with wraparound bits)
+    mm = np.uint16(1234)
+    encoded = np.uint16((int(mm) << 3) & 0xFFFF | (int(mm) >> 13))
+    out = SUNRGBDPseudoDataset.get_depth_inpaint(np.array([[encoded]]))
+    np.testing.assert_allclose(out, 1.234, atol=1e-6)
+
+
+def test_loader_epoch_determinism():
+    ds = SyntheticDataset(length=16, height=8, width=8)
+    dl = DataLoader(ds, 4, shuffle=True, seed=3)
+    dl.set_epoch(1)
+    b1 = [b["rgb"].sum() for b in dl]
+    dl.set_epoch(1)
+    b2 = [b["rgb"].sum() for b in dl]
+    assert b1 == b2
+    dl.set_epoch(2)
+    b3 = [b["rgb"].sum() for b in dl]
+    assert b1 != b3
+
+
+def test_loader_shapes_and_len():
+    ds = SyntheticDataset(length=10, height=8, width=8)
+    dl = DataLoader(ds, 4, shuffle=False, drop_last=True)
+    assert len(dl) == 2
+    batch = next(iter(dl))
+    assert batch["rgb"].shape == (4, 8, 8, 3)
+    assert batch["labels"].dtype == np.int32

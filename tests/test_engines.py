@@ -60,10 +60,14 @@ def test_rdfgan_train_step_runs_and_updates(rdfgan_setup):
               "loss_L1_fusion", "loss_D", "loss_D_real", "loss_D_fake"):
         v = float(stats[k])
         assert np.isfinite(v), k
-    # params actually moved
-    before = jax.tree.leaves(state.params["G"])[0]
-    after = jax.tree.leaves(new_state.params["G"])[0]
-    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # params actually moved (some leaves — e.g. the zero-init offset conv's
+    # aff_scale_const — legitimately have zero gradient at init)
+    moved = any(
+        not np.allclose(np.asarray(b), np.asarray(a))
+        for b, a in zip(jax.tree.leaves(state.params["G"]),
+                        jax.tree.leaves(new_state.params["G"]))
+    )
+    assert moved
 
 
 def test_rdfgan_forward_test(rdfgan_setup):
@@ -79,9 +83,9 @@ def test_rdfgan_two_steps_deterministic(rdfgan_setup):
     eng, state, batch = rdfgan_setup
     s1, _ = eng.train_step(state, batch, jax.random.PRNGKey(7))
     s2, _ = eng.train_step(state, batch, jax.random.PRNGKey(7))
-    l1 = jax.tree.leaves(s1.params["G"])[0]
-    l2 = jax.tree.leaves(s2.params["G"])[0]
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+    for l1, l2 in zip(jax.tree.leaves(s1.params["G"]),
+                      jax.tree.leaves(s2.params["G"])):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
 
 
 def test_lr_schedule_linear_decay():

@@ -1,0 +1,103 @@
+"""Stencil-vs-gather equivalence: the gather-free reformulation must match
+the reference-exact bilinear-gather NLSPN whenever offsets are within the
+clamp radius."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.test_util import check_grads
+
+from rdfc_gan_tpu.ops.nlspn import (NLSPNParamsSpec, nlspn_offset_affinity,
+                                    nlspn_propagate)
+from rdfc_gan_tpu.ops.nlspn_stencil import (build_shift_masks,
+                                            stencil_propagate)
+
+
+def _setup(rng, prop_time=3, conf=True, off_scale=0.3):
+    spec = NLSPNParamsSpec(prop_time=prop_time, conf_prop=conf)
+    B, H, W = 2, 10, 12
+    num = spec.num_neighbors
+    raw = np.zeros((B, H, W, 3 * num), np.float32)
+    raw[..., : 2 * num] = rng.uniform(-off_scale, off_scale,
+                                      (B, H, W, 2 * num))
+    raw[..., 2 * num:] = rng.normal(size=(B, H, W, num))
+    conf_map = (jnp.asarray(rng.uniform(0.2, 1, (B, H, W, 1)).astype(np.float32))
+                if conf else None)
+    gamma = jnp.asarray(spec.affinity_gamma * num)
+    offsets, aff = nlspn_offset_affinity(jnp.asarray(raw), conf_map, gamma, spec)
+    feat = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    return spec, offsets, aff, feat
+
+
+def test_stencil_matches_gather_small_offsets(rng):
+    spec, offsets, aff, feat = _setup(rng)
+    want = nlspn_propagate(feat, offsets, aff, spec)
+    M = build_shift_masks(offsets, aff, spec.prop_kernel, R=2)
+    got = stencil_propagate(feat, M, spec.prop_time, R=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_stencil_matches_gather_larger_offsets(rng):
+    # offsets up to 1.8 still inside R=2 clamp
+    spec, offsets, aff, feat = _setup(rng, off_scale=1.8)
+    want = nlspn_propagate(feat, offsets, aff, spec)
+    M = build_shift_masks(offsets, aff, spec.prop_kernel, R=2)
+    got = stencil_propagate(feat, M, spec.prop_time, R=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_stencil_preserve_input(rng):
+    spec = NLSPNParamsSpec(prop_time=4, conf_prop=False, preserve_input=True)
+    B, H, W = 1, 8, 8
+    num = spec.num_neighbors
+    raw = jnp.asarray(np.random.RandomState(0).normal(
+        size=(B, H, W, 3 * num)).astype(np.float32) * 0.2)
+    gamma = jnp.asarray(4.0)
+    offsets, aff = nlspn_offset_affinity(raw, None, gamma, spec)
+    feat = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    fix = jnp.zeros((B, H, W, 1)).at[0, 3, 3, 0].set(2.0)
+    want = nlspn_propagate(feat, offsets, aff, spec, feat_fix=fix)
+    M = build_shift_masks(offsets, aff, spec.prop_kernel, R=2)
+    got = stencil_propagate(feat, M, spec.prop_time, R=2, feat_fix=fix,
+                            preserve_input=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_stencil_gradients(rng):
+    spec, offsets, aff, feat = _setup(rng, prop_time=2)
+    # keep fractional parts away from 0/1 everywhere (incl. the structural
+    # zero at the center tap): floor() is discontinuous there and numerical
+    # differencing would cross a tap boundary
+    offsets = 0.3 + 0.35 * jnp.tanh(offsets)
+
+    def f(feat, offsets, aff):
+        M = build_shift_masks(offsets, aff, spec.prop_kernel, R=2)
+        return stencil_propagate(feat, M, spec.prop_time, R=2).sum()
+
+    check_grads(f, (feat, offsets, aff), order=1, modes=["rev"],
+                atol=5e-2, rtol=5e-2)
+
+
+def test_pallas_interpret_matches_xla(rng):
+    """Pallas kernel (interpret mode on CPU) == XLA stencil."""
+    from jax.experimental import pallas as pl  # noqa: F401
+    import rdfc_gan_tpu.ops.pallas.nlspn_kernel as nk
+
+    spec, offsets, aff, feat = _setup(rng, prop_time=3)
+    M = build_shift_masks(offsets, aff, spec.prop_kernel, R=2)
+    want = stencil_propagate(feat, M, spec.prop_time, R=2)
+
+    import functools
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        got = nk.nlspn_stencil_propagate_pallas(
+            feat, M, jnp.zeros_like(feat), spec.prop_time, 2, False)
+    finally:
+        pl.pallas_call = orig
+    # bf16 masks inside the kernel compound over iterations
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=2e-2)
