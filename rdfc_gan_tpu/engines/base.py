@@ -120,18 +120,29 @@ class BaseEngine:
         variables = init_fn(rngs, *example_inputs)
         return variables.get("params", {}), variables.get("batch_stats", {})
 
-    @staticmethod
-    def _apply(mod, params, stats, *args, train: bool, rngs=None):
-        """Apply with batch_stats threading. Returns (out, new_stats)."""
-        variables = {"params": params}
-        if stats:
-            variables["batch_stats"] = stats
-        if train and stats:
-            out, mut = mod.apply(variables, *args, train=True,
-                                 mutable=["batch_stats"], rngs=rngs)
-            return out, mut["batch_stats"]
-        out = mod.apply(variables, *args, train=train, rngs=rngs)
-        return out, stats
+    def _apply(self, mod, params, stats, *args, train: bool, rngs=None):
+        """Apply with batch_stats threading. Returns (out, new_stats).
+
+        Train-mode applications are rematerialized (jax.checkpoint): the GAN
+        step applies six sub-nets, several twice, and keeping every
+        activation live for the backward pass exceeds v5e HBM at the
+        reference's bs4/(224,304) envelope — recompute on the backward pass
+        instead (cfg.remat, default on)."""
+        has_stats = bool(stats)
+
+        def fn(p, s, *a):
+            variables = {"params": p}
+            if has_stats:
+                variables["batch_stats"] = s
+            if train and has_stats:
+                out, mut = mod.apply(variables, *a, train=True,
+                                     mutable=["batch_stats"], rngs=rngs)
+                return out, mut["batch_stats"]
+            return mod.apply(variables, *a, train=train, rngs=rngs), s
+
+        if train and getattr(self.cfg, "get", lambda *_: True)("remat", True):
+            fn = jax.checkpoint(fn)
+        return fn(params, stats, *args)
 
     def current_lr(self, state: GANTrainState) -> float:
         factor = make_lr_factor_fn(self.cfg)

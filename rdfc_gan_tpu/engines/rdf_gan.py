@@ -41,8 +41,10 @@ class RDFGAN(BaseEngine):
                 "G": make_optimizer(cfg, steps_per_epoch),
                 "D": make_optimizer(cfg, steps_per_epoch),
             }
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0,) if cfg.get("donate", True) else ())
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,) if cfg.get("donate", True) else (),
+            static_argnames=("update_g",))
         self._forward_test = jax.jit(self._forward_test_impl)
 
     # ------------------------------------------------------------------ init
@@ -67,7 +69,11 @@ class RDFGAN(BaseEngine):
 
     # ------------------------------------------------------------- train step
     def _train_step_impl(self, state: GANTrainState, batch: Dict[str, Any],
-                         rng) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+                         rng, update_g: bool = True
+                         ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """One D update, then (if ``update_g``) one G update — the v1 driver's
+        n_critic schedule updates G only every n_critic steps
+        (RDF-GAN/lib/tools/main.py:492-575)."""
         cfg = self.cfg
         G, D = self.modules["G"], self.modules["D"]
         real_A, real_B = batch["rgb"], batch["gt_depth"]
@@ -136,12 +142,15 @@ class RDFGAN(BaseEngine):
                 loss_G_GAN=loss_gan, loss_L1_rgb_branch=l1_rgb,
                 loss_L1_depth_branch=l1_depth, loss_L1_fusion=l1_fusion))
 
-        (_, (g_stats, d_stats, g_log)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params["G"])
-        g_updates, g_opt = self.optimizers["G"].update(
-            g_grads, state.opt_states["G"], state.params["G"])
-        g_params = optax.apply_updates(state.params["G"], g_updates)
-        stats.update(g_log)
+        if update_g:
+            (_, (g_stats, d_stats, g_log)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params["G"])
+            g_updates, g_opt = self.optimizers["G"].update(
+                g_grads, state.opt_states["G"], state.params["G"])
+            g_params = optax.apply_updates(state.params["G"], g_updates)
+            stats.update(g_log)
+        else:
+            g_params, g_opt = state.params["G"], state.opt_states["G"]
 
         new_state = GANTrainState(
             step=state.step + 1,
@@ -153,8 +162,8 @@ class RDFGAN(BaseEngine):
         # sharded: all reductions above are global sums/means under jit.
         return new_state, stats
 
-    def train_step(self, state, batch, rng):
-        return self._train_step(state, batch, rng)
+    def train_step(self, state, batch, rng, update_g: bool = True):
+        return self._train_step(state, batch, rng, update_g=update_g)
 
     # --------------------------------------------------------------- testing
     def _forward_test_impl(self, params, batch_stats, rgb, raw_depth):

@@ -56,8 +56,14 @@ class RDFCGAN(BaseEngine):
             "G_B2A": build_generator(cfg.model.G_B2A.to_dict()),
             "disc_A": build_discriminator(cfg.model.D_A.to_dict()),
             "disc_B": build_discriminator(cfg.model.D_B.to_dict()),
-            "G_normal": NNET(self.out_height, self.out_width),
-            "G_label": PSPNet(self.num_classes),
+            "G_normal": NNET(self.out_height, self.out_width,
+                             width=cfg.model.get("Normal_G", {}).get(
+                                 "width", 1.6),
+                             depth=cfg.model.get("Normal_G", {}).get(
+                                 "depth", 2.2)),
+            "G_label": PSPNet(self.num_classes,
+                              backbone_depth=cfg.model.get("Label_G", {}).get(
+                                  "backbone_depth", 50)),
         }
         self.criterion_gan = GANLoss(cfg.gan_loss_type)
         if is_train:

@@ -22,14 +22,17 @@ from .resnet import ResNetStem, make_stages
 def _adaptive_avg_pool(x: jnp.ndarray, out: int) -> jnp.ndarray:
     """AdaptiveAvgPool2d to (out, out) for small static bin sizes."""
     B, H, W, C = x.shape
-    # torch adaptive pooling uses variable-size windows; reproduce exactly.
-    ys = [(i * H) // out for i in range(out)] + [H]
-    xs = [(j * W) // out for j in range(out)] + [W]
+    # torch adaptive pooling: window i = [floor(i*H/out), ceil((i+1)*H/out))
+    # — never empty, even when out > H.
+    y0 = [(i * H) // out for i in range(out)]
+    y1 = [-(-((i + 1) * H) // out) for i in range(out)]
+    x0 = [(j * W) // out for j in range(out)]
+    x1 = [-(-((j + 1) * W) // out) for j in range(out)]
     rows = []
     for i in range(out):
         cols = []
         for j in range(out):
-            patch = x[:, ys[i]:ys[i + 1], xs[j]:xs[j + 1], :]
+            patch = x[:, y0[i]:y1[i], x0[j]:x1[j], :]
             cols.append(patch.mean(axis=(1, 2)))
         rows.append(jnp.stack(cols, axis=1))
     return jnp.stack(rows, axis=1)  # (B, out, out, C)
@@ -64,13 +67,15 @@ class PSPModule(nn.Module):
 class PSPNet(nn.Module):
     num_classes: int = 14
     use_aux: bool = True
+    backbone_depth: int = 50  # 18/34 give cheap test/dryrun backbones
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         input_size = (x.shape[1], x.shape[2])
         h = ResNetStem(axis_name=self.axis_name)(x, train)
-        l1, l2, l3, l4 = make_stages(50, dilated=True, axis_name=self.axis_name)
+        l1, l2, l3, l4 = make_stages(self.backbone_depth, dilated=True,
+                                     axis_name=self.axis_name)
         h = l1(h, train)
         h = l2(h, train)
         x_aux = l3(h, train)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -80,10 +81,39 @@ class ConvBNAct(nn.Module):
         return x
 
 
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with EXACT torch ConvTranspose2d(k, s, p, op) geometry:
+    an lhs-dilated convolution with padding (k-1-p, k-1-p+op) and a spatially
+    flipped kernel. Kernel stored HWIO (already flipped); converters map
+    torch (Cin,Cout,kh,kw) via transpose(2,3,0,1)[::-1,::-1]."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = gan_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
+        w = self.param("kernel", self.kernel_init,
+                       (k, k, x.shape[-1], self.features))
+        lo, hi = k - 1 - p, k - 1 - p + op
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)), lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(x.dtype)
+        return out
+
+
 class ConvTBNAct(nn.Module):
-    """convT(+BN)(+LeakyReLU0.2), k3 s2 'same'+output_padding 1 semantics —
-    common.py:convt_bn_relu. torch ConvTranspose2d(k=3,s=2,p=1,op=1) doubles
-    H,W exactly; flax ConvTranspose with SAME padding reproduces that."""
+    """convT(+BN)(+LeakyReLU0.2), torch ConvTranspose2d(k=3,s=2,p=1,op=1)
+    geometry — common.py:convt_bn_relu; doubles H,W exactly."""
 
     features: int
     kernel: int = 3
@@ -95,11 +125,12 @@ class ConvTBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.ConvTranspose(
+        x = TorchConvTranspose(
             self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
+            kernel=self.kernel,
+            stride=self.stride,
+            padding=(self.kernel - 1) // 2,
+            output_padding=self.stride - 1,
             use_bias=not self.bn,
             kernel_init=self.kernel_init,
         )(x)
@@ -242,8 +273,6 @@ def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int],
     jax.image.resize implements the align_corners=False (half-pixel)
     convention; align_corners=True is reproduced via explicit gather.
     """
-    import jax
-
     B, H, W, C = x.shape
     h, w = size
     if (H, W) == (h, w):

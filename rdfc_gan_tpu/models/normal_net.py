@@ -144,28 +144,34 @@ class UpSampleBN(nn.Module):
 
 class NormalDecoder(nn.Module):
     num_classes: int = 4
+    head: int = 2048
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, taps, train: bool = True):
         b0, b1, b2, b3, b4 = taps
-        h = nn.Conv(2048, (1, 1))(b4)
-        h = UpSampleBN(1024, self.axis_name)(h, b3, train)
-        h = UpSampleBN(512, self.axis_name)(h, b2, train)
-        h = UpSampleBN(256, self.axis_name)(h, b1, train)
-        h = UpSampleBN(128, self.axis_name)(h, b0, train)
+        h = nn.Conv(self.head, (1, 1))(b4)
+        h = UpSampleBN(self.head // 2, self.axis_name)(h, b3, train)
+        h = UpSampleBN(self.head // 4, self.axis_name)(h, b2, train)
+        h = UpSampleBN(self.head // 8, self.axis_name)(h, b1, train)
+        h = UpSampleBN(self.head // 16, self.axis_name)(h, b0, train)
         return nn.Conv(self.num_classes, (3, 3), padding=1)(h)
 
 
 class NNET(nn.Module):
     out_height: int = 224
     out_width: int = 304
+    # B5 scaling by default; smaller multipliers give cheap test/dryrun nets
+    width: float = 1.6
+    depth: float = 2.2
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, img, train: bool = True):
-        taps = EfficientNetEncoder(axis_name=self.axis_name)(img, train)
-        out = NormalDecoder(axis_name=self.axis_name)(taps, train)
+        taps = EfficientNetEncoder(width=self.width, depth=self.depth,
+                                   axis_name=self.axis_name)(img, train)
+        out = NormalDecoder(head=_round_channels(1280, self.width),
+                            axis_name=self.axis_name)(taps, train)
         return bilinear_resize(out, (self.out_height, self.out_width),
                                align_corners=True)
 

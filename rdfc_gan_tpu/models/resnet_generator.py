@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..registry import GENERATORS
-from .layers import gan_kernel_init, instance_norm, reflect_pad
+from .layers import TorchConvTranspose, gan_kernel_init, instance_norm, reflect_pad
 
 
 class PReLU(nn.Module):
@@ -90,9 +90,10 @@ class ResnetGenerator(nn.Module):
 
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
-            h = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", use_bias=use_bias,
-                                 kernel_init=gan_kernel_init)(h)
+            h = TorchConvTranspose(self.ngf * mult // 2, kernel=3, stride=2,
+                                   padding=1, output_padding=1,
+                                   use_bias=use_bias,
+                                   kernel_init=gan_kernel_init)(h)
             h = PReLU()(norm(h))
 
         h = reflect_pad(h, 3)
