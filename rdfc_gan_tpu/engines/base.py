@@ -102,6 +102,12 @@ class BaseEngine:
         self.steps_per_epoch = max(int(steps_per_epoch), 1)
         self.modules: Dict[str, Any] = {}
         self.optimizers: Dict[str, optax.GradientTransformation] = {}
+        # mixed precision: bf16 activations/weights inside the train step,
+        # f32 master params + optimizer state. Norm statistics stay f32
+        # (flax _compute_stats upcasts; our instance_norm does explicitly).
+        name = str(cfg.get("compute_dtype", "bfloat16")).lower()
+        self.compute_dtype = (
+            jnp.bfloat16 if name in ("bf16", "bfloat16") else None)
 
     # -- helpers -------------------------------------------------------------
     def _init_net(self, rng, name: str, *example_inputs, train=False,
@@ -129,11 +135,20 @@ class BaseEngine:
         reference's bs4/(224,304) envelope — recompute on the backward pass
         instead (cfg.remat, default on)."""
         has_stats = bool(stats)
+        cd = self.compute_dtype if train else None
+
+        def cast(t):
+            if cd is None:
+                return t
+            return jax.tree.map(
+                lambda x: x.astype(cd)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
 
         def fn(p, s, *a):
-            variables = {"params": p}
+            variables = {"params": cast(p)}
             if has_stats:
                 variables["batch_stats"] = s
+            a = cast(a)
             if train and has_stats:
                 out, mut = mod.apply(variables, *a, train=True,
                                      mutable=["batch_stats"], rngs=rngs)

@@ -42,12 +42,16 @@ def _apply_weight(loss: jnp.ndarray, weight: Optional[jnp.ndarray]) -> jnp.ndarr
 
 def l1_loss(pred, target, weight=None, reduction: str = "sum"):
     assert reduction == "sum"
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     loss = jnp.abs(pred - target)
     return _apply_weight(loss, weight).sum()
 
 
 def l2_loss(pred, target, weight=None, reduction: str = "sum"):
     assert reduction == "sum"
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     loss = (pred - target) ** 2
     return _apply_weight(loss, weight).sum()
 
@@ -59,6 +63,8 @@ mse_loss = l2_loss
 def binary_cross_entropy_loss(pred, target, weight=None, reduction: str = "sum"):
     """BCE with logits, weighted-sum reduced (gan_loss.py:158-171)."""
     assert reduction == "sum"
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     # log(1 + exp(-|x|)) formulation for stability
     loss = jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
     return _apply_weight(loss, weight).sum()
@@ -70,7 +76,7 @@ def softmax_cross_entropy_loss(logits, labels, num_classes: Optional[int] = None
     Parity with torch.nn.CrossEntropyLoss() default (mean reduction) used by
     the RDFCGAN engine (rdfc_gan.py:57).
     """
-    logz = jax.nn.log_softmax(logits, axis=-1)
+    logz = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logz, labels[..., None].astype(jnp.int32), axis=-1)
     return -ll.mean()
 
@@ -95,7 +101,8 @@ def nor_loss(pred, target, norm_masks):
     pred/target: (B,H,W,3); norm_masks: (B,H,W) or (B,H,W,C) boolean/float.
     Parity: gan_loss.py:122-132.
     """
-    dot = _cosine_similarity(pred, target, axis=-1)  # (B,H,W)
+    dot = _cosine_similarity(pred.astype(jnp.float32),
+                             target.astype(jnp.float32), axis=-1)  # (B,H,W)
     if norm_masks.ndim == 4:
         m = norm_masks[..., 0]
     else:
@@ -120,6 +127,7 @@ def manhattan_loss(normal, semantic_logits, norm_mask,
     """
     sem = jnp.argmax(semantic_logits, axis=-1)  # (B,H,W)
 
+    normal = normal.astype(jnp.float32)
     ny = normal[..., 1]  # y component
     nnorm = jnp.maximum(jnp.linalg.norm(normal, axis=-1), 1e-8)
 
@@ -168,7 +176,8 @@ class GANLoss:
             crit = mse_loss if self.gan_mode == "lsgan" else binary_cross_entropy_loss
             return crit(prediction, target, weight)
         # wgan / wgangp
-        return -prediction.mean() if target_is_real else prediction.mean()
+        p = prediction.astype(jnp.float32)
+        return -p.mean() if target_is_real else p.mean()
 
 
 def gradient_penalty(disc_apply, real, fake, rng, lam: float = 10.0):

@@ -60,20 +60,23 @@ class DCVGANGenerator(nn.Module):
             depth_channels_decoder=self.depth_channels_decoder,
             axis_name=self.axis_name)
 
-    def __call__(self, rgb, depth, train: bool = True
-                 ) -> Tuple[jnp.ndarray, ...]:
+    # v1 API returns the 5-tuple (rdf_gan_generator.py:360); the framework's
+    # engine contract is the dict — set return_tuple for v1-exact callers.
+    return_tuple: bool = False
+
+    def __call__(self, rgb, depth, train: bool = True):
         if self.use_guidance:
-            guidance = self.global_guidance_module(rgb, train=False if not
-                                                   train else train)
+            guidance = self.global_guidance_module(rgb, train=train)
             if isinstance(guidance, (tuple, list)):
                 guidance = guidance[0]
         else:
             guidance = rgb
         ret = self.core(rgb, depth, guidance, train=train)
-        # v1 contract: 5-tuple (rdf_gan_generator.py:360)
-        return (ret["depth_map_1"], ret["confidence_map_1"],
-                ret["depth_map_2"], ret["confidence_map_2"],
-                ret["pred_depth"])
+        if self.return_tuple:
+            return (ret["depth_map_1"], ret["confidence_map_1"],
+                    ret["depth_map_2"], ret["confidence_map_2"],
+                    ret["pred_depth"])
+        return ret
 
 
 GENERATORS.register("DCVGANGenerator")(DCVGANGenerator)

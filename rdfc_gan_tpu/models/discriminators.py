@@ -54,7 +54,7 @@ class PatchGANDiscriminator(nn.Module):
                         kernel_init=gan_kernel_init)(x)
             if 0 < i < n - 1:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=self.axis_name)(x)
+                                 epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
             if i < n - 1:
                 x = act(x)
         return x
@@ -73,7 +73,7 @@ class PixelGANDiscriminator(nn.Module):
         x = nn.Conv(self.ndf * 2, (1, 1), use_bias=False,
                     kernel_init=gan_kernel_init)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.axis_name)(x)
+                         epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         return nn.Conv(1, (1, 1), kernel_init=gan_kernel_init)(x)
 
@@ -85,7 +85,7 @@ class PointNetDiscriminator(nn.Module):
     def __call__(self, pts, train: bool = True):
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5)(z)
+                                epsilon=1e-5, dtype=z.dtype)(z)
 
         h = nn.relu(bn(nn.Dense(64)(pts)))
         point_feat = h

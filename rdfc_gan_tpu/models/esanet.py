@@ -54,7 +54,7 @@ class ConvBNActESA(nn.Module):
                     padding=self.kernel // 2, use_bias=False,
                     kernel_init=kaiming_init)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.axis_name)(x)
+                         epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         return nn.relu(x)
 
 

@@ -46,7 +46,7 @@ class PSPModule(nn.Module):
     def __call__(self, x, train: bool = True):
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name)(z)
+                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         C = x.shape[-1]
         out_c = C // len(self.bin_sizes)
@@ -88,7 +88,7 @@ class PSPNet(nn.Module):
         if train and self.use_aux:
             def bn(z):
                 return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, axis_name=self.axis_name)(z)
+                                    epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
             aux = nn.relu(bn(nn.Conv(512, (3, 3), padding=1,
                                      use_bias=False)(x_aux)))

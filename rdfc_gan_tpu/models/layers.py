@@ -73,6 +73,7 @@ class ConvBNAct(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.axis_name,
+                dtype=x.dtype,
             )(x)
         if self.use_in:
             x = instance_norm(x)
@@ -140,6 +141,7 @@ class ConvTBNAct(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.axis_name,
+                dtype=x.dtype,
             )(x)
         if self.relu:
             x = leaky_relu02(x)
@@ -240,7 +242,7 @@ class NonBottleneck1D(nn.Module):
             if self.use_in:
                 return instance_norm(z, eps=1e-3)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-3, axis_name=self.axis_name)(z)
+                                epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         out = nn.Conv(self.planes, (3, 1), strides=(self.stride, 1),
                       padding=((1, 1), (0, 0)))(x)

@@ -71,7 +71,7 @@ class MBConv(nn.Module):
     def __call__(self, x, train: bool = True):
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-3, axis_name=self.axis_name)(z)
+                                epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         cin = x.shape[-1]
         h = x
@@ -100,7 +100,7 @@ class EfficientNetEncoder(nn.Module):
     def __call__(self, x, train: bool = True) -> Sequence[jnp.ndarray]:
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-3, axis_name=self.axis_name)(z)
+                                epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         stem = _round_channels(32, self.width)
         h = nn.silu(bn(nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
@@ -132,7 +132,7 @@ class UpSampleBN(nn.Module):
     def __call__(self, x, skip, train: bool = True):
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name)(z)
+                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         up = bilinear_resize(x, (skip.shape[1], skip.shape[2]),
                              align_corners=True)

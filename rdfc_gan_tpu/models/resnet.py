@@ -29,7 +29,7 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name)(z)
+                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=self.dilation, kernel_dilation=(self.dilation,) * 2,
@@ -57,7 +57,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = True):
         def bn(z):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name)(z)
+                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
                       kernel_init=kaiming_init)(x)
@@ -145,7 +145,7 @@ class ResNetStem(nn.Module):
         x = nn.Conv(self.features, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, kernel_init=kaiming_init)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.axis_name)(x)
+                         epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x

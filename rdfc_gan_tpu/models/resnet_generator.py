@@ -40,7 +40,7 @@ class ResnetBlock(nn.Module):
             if self.norm.lower() == "in2d":
                 return instance_norm(z)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name)(z)
+                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         h = reflect_pad(x, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=use_bias,
@@ -70,7 +70,7 @@ class ResnetGenerator(nn.Module):
             if self.norm_layer.lower() == "in2d":
                 return instance_norm(z)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name)(z)
+                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         h = reflect_pad(x, 3)
         h = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=use_bias,

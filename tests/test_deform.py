@@ -103,20 +103,23 @@ def test_fractional_offset_interpolates(rng):
 
 
 def test_deform_conv_gradients(rng):
-    B, H, W, Cin, Cout, k = 1, 6, 6, 2, 2, 3
-    feat = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float64))
-    weight = jnp.asarray(rng.normal(size=(k * k, Cin, Cout)).astype(np.float64))
-    offsets = jnp.asarray(
-        rng.uniform(-0.4, 0.4, size=(B, H, W, k * k, 2)).astype(np.float64)
-    )
-    mask = jnp.asarray(rng.uniform(0.2, 1.0, size=(B, H, W, k * k)).astype(np.float64))
+    jax.config.update("jax_enable_x64", True)
+    try:
+        B, H, W, Cin, Cout, k = 1, 6, 6, 2, 2, 3
+        feat = jnp.asarray(rng.normal(size=(B, H, W, Cin)))
+        weight = jnp.asarray(rng.normal(size=(k * k, Cin, Cout)))
+        offsets = jnp.asarray(
+            rng.uniform(-0.4, 0.4, size=(B, H, W, k * k, 2)))
+        mask = jnp.asarray(rng.uniform(0.2, 1.0, size=(B, H, W, k * k)))
 
-    def f(feat, offsets, mask, weight):
-        return modulated_deform_conv(feat, offsets, mask, weight,
-                                     kernel_size=(k, k)).sum()
+        def f(feat, offsets, mask, weight):
+            return modulated_deform_conv(feat, offsets, mask, weight,
+                                         kernel_size=(k, k)).sum()
 
-    check_grads(f, (feat, offsets, mask, weight), order=1, modes=["rev"],
-                atol=1e-3, rtol=1e-3)
+        check_grads(f, (feat, offsets, mask, weight), order=1, modes=["rev"],
+                    atol=1e-3, rtol=1e-3)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 # ---------------------------------------------------------------- NLSPN ----
@@ -196,15 +199,26 @@ def test_nlspn_preserve_input(rng):
 
 
 def test_nlspn_refine_end_to_end_and_grads(rng):
-    spec = _spec(prop_time=2)
-    B, H, W = 1, 5, 5
-    raw = jnp.asarray(rng.normal(size=(B, H, W, 3 * spec.num_neighbors)).astype(np.float64) * 0.1)
-    conf = jnp.asarray(rng.uniform(0.2, 1, size=(B, H, W, 1)).astype(np.float64))
-    pred = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float64))
-    gamma = jnp.asarray(4.0, dtype=jnp.float64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        spec = _spec(prop_time=2)
+        B, H, W = 1, 5, 5
+        raw = jnp.asarray(
+            rng.normal(size=(B, H, W, 3 * spec.num_neighbors)) * 0.1)
+        # keep learned offsets away from integer boundaries: floor() is
+        # discontinuous there and the numerical diff would cross a tap
+        num = spec.num_neighbors
+        raw = raw.at[..., : 2 * num].set(
+            0.3 + 0.1 * jnp.tanh(raw[..., : 2 * num]))
+        conf = jnp.asarray(rng.uniform(0.2, 1, size=(B, H, W, 1)))
+        pred = jnp.asarray(rng.normal(size=(B, H, W, 1)))
+        gamma = jnp.asarray(4.0)
 
-    def f(pred, raw, conf, gamma):
-        return nlspn_refine(pred, raw, conf, gamma, spec).sum()
+        def f(pred, raw, conf, gamma):
+            return nlspn_refine(pred, raw, conf, gamma, spec).sum()
 
-    check_grads(f, (pred, raw, conf, gamma), order=1, modes=["rev"],
-                atol=2e-3, rtol=2e-3)
+        # |aff| and the >=1 abs-sum clamp are non-smooth; 0.5% slack
+        check_grads(f, (pred, raw, conf, gamma), order=1, modes=["rev"],
+                    atol=5e-3, rtol=5e-3)
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -41,9 +41,9 @@ def test_linear_transpose(rng):
 
 
 def test_convtranspose_k3s2(rng):
-    """torch ConvTranspose2d(k3,s2,p1,op1) vs flax-style transposed conv with
-    converted weights — the decoder's convt_bn_relu geometry."""
-    import flax.linen as nn
+    """torch ConvTranspose2d(k3,s2,p1,op1) vs TorchConvTranspose with
+    converted weights — EXACT geometry parity (decoder convt_bn_relu)."""
+    from rdfc_gan_tpu.models.layers import TorchConvTranspose
 
     x = rng.normal(size=(1, 4, 5, 6)).astype(np.float32)  # NCHW
     tconv = torch.nn.ConvTranspose2d(4, 3, 3, stride=2, padding=1,
@@ -53,11 +53,8 @@ def test_convtranspose_k3s2(rng):
     w = tconv.weight.detach().numpy()  # (Cin, Cout, kh, kw)
     kernel = convert_convtranspose_weight(w)
 
-    mod = nn.ConvTranspose(3, (3, 3), strides=(2, 2), padding="SAME",
-                           use_bias=False)
-    variables = mod.init(jax.random.PRNGKey(0),
-                         jnp.asarray(x.transpose(0, 2, 3, 1)))
-    assert variables["params"]["kernel"].shape == kernel.shape
+    mod = TorchConvTranspose(3, kernel=3, stride=2, padding=1,
+                             output_padding=1, use_bias=False)
     got = mod.apply({"params": {"kernel": jnp.asarray(kernel.copy())}},
                     jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,

@@ -1,0 +1,193 @@
+"""v1 (RDF-GAN) train/eval/FPS driver.
+
+Parity target: RDF-GAN/lib/tools/main.py:25-653 — monolithic driver with
+  * DCVGANGenerator (+ ESANet guidance) + PatchGAN discriminator,
+  * D-first-then-G updates with ``--n_critic`` (G updated every n_critic
+    steps, main.py:492-575),
+  * wgan weight clipping / wgan-gp gradient penalty,
+  * ``--warm_up`` LR ramp over warm_up_steps epochs,
+  * ``--inference``: evaluate a checkpoint and exit,
+  * ``--cal_fps``: 300-image FPS bench, 5 warmup, device-sync bracketed.
+
+Built on the framework's RDFGAN engine (same loss family) with the v1
+generator config and the v1 evaluator (resize-back to origin resolution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("rdf-gan v1 driver")
+    add = p.add_argument
+    add("--dataset", default="nyuv2_s2d",
+        choices=["nyuv2_s2d", "nyuv2", "sunrgbd", "ddrnet_human", "synthetic"])
+    add("--data_root", default=None)
+    add("--batch_size", type=int, default=4)
+    add("--lr", type=float, default=2e-3)
+    add("--beta1", type=float, default=0.5)
+    add("--beta2", type=float, default=0.999)
+    add("--n_epochs", type=int, default=150)
+    add("--optimizer", default="Adam")
+    add("--scheduler", default="linear")
+    add("--decay_epoch", type=int, default=100)
+    add("--gan_loss_type", default="lsgan",
+        choices=["lsgan", "vanilla", "wgan", "wgangp"])
+    add("--n_critic", type=int, default=1)
+    add("--wgan_clip_value", type=float, default=0.01)
+    add("--warm_up", action="store_true")
+    add("--warm_up_lr", type=float, default=1e-6)
+    add("--warm_up_steps", type=int, default=1)
+    # v1 guidance / NLSPN knobs (RDF-GAN/lib/tools/config.py)
+    add("--use_guidance", action="store_true", default=False)
+    add("--guidance_classes", type=int, default=40)
+    add("--prop_kernel", type=int, default=3)
+    add("--prop_time", type=int, default=18)
+    add("--affinity", default="TGASS", choices=["AS", "ASS", "TC", "TGASS"])
+    add("--affinity_gamma", type=float, default=0.5)
+    add("--conf_prop", action="store_true", default=True)
+    add("--preserve_input", action="store_true", default=False)
+    add("--lambda_l1_rgb_branch", type=float, default=100.0)
+    add("--lambda_l1_depth_branch", type=float, default=100.0)
+    add("--lambda_l1_fusion", type=float, default=100.0)
+    add("--work_dir", required=True)
+    add("--load_from", default=None)
+    add("--resume_from", default=None)
+    add("--log_interval", type=int, default=30)
+    add("--save_interval", type=int, default=10)
+    add("--val_interval", type=int, default=1)
+    add("--seed", type=int, default=0)
+    add("--inference", action="store_true")
+    add("--cal_fps", action="store_true")
+    return p
+
+
+def make_cfg(args):
+    from rdfc_gan_tpu.config import default_config
+
+    cfg = default_config()
+    cfg.merge(vars(args))
+    cfg.merge({
+        "model": {
+            "type": "RDFGAN",
+            "G": {
+                "type": "DCVGANGenerator",
+                "use_guidance": args.use_guidance,
+                "guidance_classes": args.guidance_classes,
+                "use_nlspn_refine": True,
+                "nlspn_configs": {
+                    "prop_kernel": args.prop_kernel,
+                    "prop_time": args.prop_time,
+                    "affinity": args.affinity,
+                    "affinity_gamma": args.affinity_gamma,
+                    "conf_prop": args.conf_prop,
+                    "preserve_input": args.preserve_input,
+                },
+            },
+            "D": {"type": "PatchGANDiscriminator", "in_channels": 1,
+                  "activation": "LeakyReLU"},
+        }
+    })
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = make_cfg(args)
+
+    from rdfc_gan_tpu.data import DataLoader
+    from rdfc_gan_tpu.engines import build_engine
+    from rdfc_gan_tpu.evaluator.v1_evaluator import EvalV1
+    from rdfc_gan_tpu.registry import build_dataset
+    from rdfc_gan_tpu.utils import Logger, MovingAverage, set_random_seed
+    from rdfc_gan_tpu.utils.checkpoint import (load_checkpoint, resume_from,
+                                               save_checkpoint)
+
+    root_key = set_random_seed(cfg.seed)
+    logger = Logger(cfg.work_dir)
+
+    ds_kwargs = dict(seed=cfg.seed)
+    if cfg.data_root:
+        ds_kwargs["data_root"] = cfg.data_root
+    train_ds = build_dataset(dict(type=cfg.dataset, mode="train", **ds_kwargs))
+    val_ds = build_dataset(dict(type=cfg.dataset, mode="val", **ds_kwargs))
+    train_loader = DataLoader(train_ds, cfg.batch_size, seed=cfg.seed)
+    val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=False,
+                            drop_last=False)
+
+    engine = build_engine(cfg, is_train=not (args.inference or args.cal_fps),
+                          steps_per_epoch=max(len(train_loader), 1))
+    import jax.numpy as jnp
+
+    sample = jax.tree.map(jnp.asarray, next(iter(val_loader)))
+    state = engine.init_state(root_key, sample)
+
+    start_epoch = 0
+    if cfg.resume_from:
+        state, start_epoch = resume_from(state, cfg.resume_from)
+    elif cfg.load_from:
+        state, _ = load_checkpoint(state, cfg.load_from)
+
+    evaluator = EvalV1(val_loader)
+
+    if args.cal_fps:
+        # 300 imgs, 5 warmup, device-sync bracketed (main.py:318-350)
+        it = iter(val_loader)
+        batch = jax.tree.map(jnp.asarray, next(it))
+        for _ in range(5):
+            jax.block_until_ready(engine.forward_test(
+                state, rgb=batch["rgb"], raw_depth=batch["raw_depth"]))
+        done, t0 = 0, time.perf_counter()
+        while done < 300:
+            try:
+                batch = jax.tree.map(jnp.asarray, next(it))
+            except StopIteration:
+                it = iter(val_loader)
+                continue
+            jax.block_until_ready(engine.forward_test(
+                state, rgb=batch["rgb"], raw_depth=batch["raw_depth"]))
+            done += batch["rgb"].shape[0]
+        fps = done / (time.perf_counter() - t0)
+        logger.log(f"FPS: {fps:.2f}")
+        return 0
+
+    if args.inference:
+        evaluator.evaluate(engine, state, logger)
+        return 0
+
+    avg = MovingAverage(cfg.log_interval)
+    it = 0
+    for epoch in range(start_epoch, cfg.n_epochs):
+        train_loader.set_epoch(epoch)
+        for i, batch in enumerate(train_loader):
+            batch = jax.tree.map(jnp.asarray, batch)
+            update_g = (it % max(args.n_critic, 1)) == 0
+            state, stats = engine.train_step(
+                state, batch, jax.random.fold_in(root_key, it),
+                update_g=update_g)
+            it += 1
+            avg.update({k: float(v) for k, v in stats.items()})
+            if it % cfg.log_interval == 0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in
+                               sorted(avg.mean().items()))
+                logger.log(f"epoch {epoch} iter {i} {msg}")
+        if (epoch + 1) % cfg.save_interval == 0:
+            save_checkpoint(state,
+                            os.path.join(cfg.work_dir, f"epoch_{epoch+1}.ckpt"),
+                            meta=dict(epoch=epoch + 1))
+        if (epoch + 1) % cfg.val_interval == 0:
+            evaluator.evaluate(engine, state, logger)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
