@@ -316,5 +316,61 @@ class RDFCGAN(BaseEngine):
 
     __call__ = forward_test
 
+    # ------------------------------------------------------------- sampling
+    def save_samples(self, state, fixed_samples, save_dir: str, iters: int,
+                     prefix: str = "sample", batch_size: int = 8):
+        """Image-grid dumps of the cycle (rdfc_gan.py:342-410): A->B->A and
+        B->A->B reconstructions + normal/label visualizations."""
+        import os
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..utils import save_vis
+
+        os.makedirs(save_dir, exist_ok=True)
+        rgb = jnp.asarray(fixed_samples["rgb"])
+        gt_depth = jnp.asarray(fixed_samples["gt_depth"])
+        aux = jnp.asarray(fixed_samples["raw_depth"])
+
+        ret = self.forward_test(state, rgb=rgb, raw_depth=aux)
+        fake_B = np.asarray(ret["pred_depth"])
+        pred_normal = np.asarray(ret["pred_normal"])
+        lbl = ret["pred_label"]
+        lbl = lbl[0] if isinstance(lbl, (list, tuple)) else lbl
+
+        fake_A, _ = self._apply(self.modules["G_B2A"], state.params["G_B2A"],
+                                state.batch_stats["G_B2A"], gt_depth,
+                                train=False)
+        rec_A, _ = self._apply(self.modules["G_B2A"], state.params["G_B2A"],
+                               state.batch_stats["G_B2A"],
+                               jnp.asarray(fake_B), train=False)
+
+        palette = [(0, 0, 0), (0, 0, 255), (232, 88, 47), (0, 217, 0),
+                   (148, 0, 240), (222, 241, 23), (255, 205, 205),
+                   (0, 223, 228), (106, 135, 204), (116, 28, 41),
+                   (240, 35, 235), (0, 166, 156), (249, 139, 0),
+                   (225, 228, 194)]
+        p = os.path.join(save_dir, f"{prefix}-{iters:06d}")
+        save_vis.save_image_grid(
+            f"{p}-A-B.jpg",
+            [np.asarray(aux), np.asarray(gt_depth), fake_B],
+            num_imgs_per_scene=3, batch_size=batch_size)
+        save_vis.save_image_grid(
+            f"{p}-B-A.jpg",
+            [np.asarray(rgb), np.asarray(fake_A), np.asarray(rec_A)],
+            num_imgs_per_scene=3, batch_size=batch_size)
+        save_vis.save_image_grid(
+            f"{p}-normal.jpg",
+            [np.asarray(fixed_samples["gt_normal"]), pred_normal],
+            num_imgs_per_scene=2, batch_size=batch_size)
+        pred_lbl_color = save_vis.color_label(
+            np.argmax(np.asarray(lbl), -1), palette, self.num_classes)
+        gt_lbl_color = save_vis.color_label(
+            np.asarray(fixed_samples["labels"]), palette, self.num_classes)
+        save_vis.save_image_grid(
+            f"{p}-label.jpg", [gt_lbl_color / 255.0, pred_lbl_color / 255.0],
+            num_imgs_per_scene=2, batch_size=batch_size)
+
 
 MODELS.register("RDFCGAN")(RDFCGAN)

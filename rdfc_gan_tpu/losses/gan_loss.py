@@ -83,15 +83,27 @@ def softmax_cross_entropy_loss(logits, labels, num_classes: Optional[int] = None
 
 def norm_normalize(norm_out):
     """L2-normalize the first 3 channels of a normal map, NHWC
-    (reference helper.py:404-409 / gan_loss.py:44-48)."""
-    n = jnp.sqrt(jnp.sum(norm_out[..., :3] ** 2, axis=-1, keepdims=True)) + 1e-10
+    (reference helper.py:404-409 / gan_loss.py:44-48).
+
+    eps lives INSIDE the sqrt: d(sqrt(s))/ds at s=0 is inf, and bf16
+    activations make exactly-zero vectors common — sqrt(s+eps) keeps the
+    gradient finite everywhere."""
+    n = jnp.sqrt(jnp.sum(norm_out[..., :3] ** 2, axis=-1, keepdims=True)
+                 + 1e-12)
     return norm_out[..., :3] / n
+
+
+def _safe_norm(x, axis=-1, eps=1e-12):
+    """sqrt(sum(x^2) + eps): finite gradient at x == 0 (plain norm has
+    d|x|/dx = x/|x| -> NaN at zero, and a maximum() clamp does not stop the
+    NaN from propagating through the losing branch)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
 
 
 def _cosine_similarity(a, b, axis=-1, eps=1e-8):
     """torch.cosine_similarity semantics: dot / (max(|a|,eps) * max(|b|,eps))."""
-    an = jnp.maximum(jnp.linalg.norm(a, axis=axis), eps)
-    bn = jnp.maximum(jnp.linalg.norm(b, axis=axis), eps)
+    an = jnp.maximum(_safe_norm(a, axis), eps)
+    bn = jnp.maximum(_safe_norm(b, axis), eps)
     return jnp.sum(a * b, axis=axis) / (an * bn)
 
 
@@ -129,14 +141,13 @@ def manhattan_loss(normal, semantic_logits, norm_mask,
 
     normal = normal.astype(jnp.float32)
     ny = normal[..., 1]  # y component
-    nnorm = jnp.maximum(jnp.linalg.norm(normal, axis=-1), 1e-8)
 
     def _directional(mask, sign):
         # cos(normal*mask, ±y). Where mask==0 the masked normal is the zero
         # vector -> cos==0 -> contribution (1-0)*0 = 0 after the outer *mask.
         maskf = mask.astype(jnp.float32)
         cos = sign * (ny * maskf) / jnp.maximum(
-            jnp.linalg.norm(normal * maskf[..., None], axis=-1), 1e-8
+            _safe_norm(normal * maskf[..., None], axis=-1), 1e-8
         )
         contrib = (1.0 - cos) * maskf
         count = jnp.sum(contrib != 0.0)
@@ -148,7 +159,7 @@ def manhattan_loss(normal, semantic_logits, norm_mask,
     # wall: |cos(normal, +y)| should be 0 (wall normals ⟂ gravity).
     wall_mask = (sem == label_wall).astype(jnp.float32)
     wall_cos = (ny * wall_mask) / jnp.maximum(
-        jnp.linalg.norm(normal * wall_mask[..., None], axis=-1), 1e-8
+        _safe_norm(normal * wall_mask[..., None], axis=-1), 1e-8
     )
     wall_contrib = wall_cos * wall_mask * 2.0
     wall_count = jnp.sum(wall_contrib != 0.0)

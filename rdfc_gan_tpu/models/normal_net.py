@@ -181,6 +181,6 @@ def norm_normalize_kappa(norm_out: jnp.ndarray, min_kappa: float = 0.01):
     (submodules.py:66-73)."""
     xyz = norm_out[..., :3]
     kappa = norm_out[..., 3:4]
-    n = jnp.sqrt(jnp.sum(xyz**2, axis=-1, keepdims=True)) + 1e-10
+    n = jnp.sqrt(jnp.sum(xyz**2, axis=-1, keepdims=True) + 1e-12)
     kappa = nn.elu(kappa) + 1.0 + min_kappa
     return jnp.concatenate([xyz / n, kappa], axis=-1)

@@ -88,6 +88,27 @@ def test_rdfgan_two_steps_deterministic(rdfgan_setup):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
 
 
+def test_checkpoint_roundtrip(rdfgan_setup, tmp_path):
+    from rdfc_gan_tpu.utils.checkpoint import (load_checkpoint, resume_from,
+                                               save_checkpoint)
+
+    eng, state, batch = rdfgan_setup
+    new_state, _ = eng.train_step(state, batch, jax.random.PRNGKey(3))
+    path = str(tmp_path / "ckpt.bin")
+    save_checkpoint(new_state, path, meta=dict(epoch=7, batch_size=2))
+    restored, meta = load_checkpoint(state, path)
+    assert meta["epoch"] == 7
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume returns the start epoch and restores optimizer state
+    restored2, epoch = resume_from(state, path)
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(new_state.opt_states),
+                    jax.tree.leaves(restored2.opt_states)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_schedule_linear_decay():
     from rdfc_gan_tpu.engines import make_lr_factor_fn
 

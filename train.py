@@ -103,6 +103,10 @@ def main(argv=None):
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                 logger.log(f"epoch {epoch} iter {i} ({ips:.1f} img/s) {msg}")
                 logger.add_scalars(m, it)
+            if (it % cfg.sample_interval == 0 and jax.process_index() == 0
+                    and hasattr(engine, "save_samples")):
+                engine.save_samples(state, sample_batch,
+                                    os.path.join(cfg.work_dir, "samples"), it)
 
         if (epoch + 1) % cfg.save_interval == 0:
             save_checkpoint(state, os.path.join(cfg.work_dir,
