@@ -47,3 +47,19 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch with batch-dim sharding over 'data'."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Shard the image WIDTH across a mesh axis — the CNN analog of context/
+    sequence parallelism (SURVEY.md §5 long-context row): XLA's spatial
+    partitioner inserts the 3x3-neighborhood halo exchanges automatically for
+    every conv, and per-image reductions (instance norm, AdaIN statistics)
+    become cross-device collectives emitted by jit. Use for full-resolution
+    640x480 streams that exceed single-chip activation memory."""
+    return NamedSharding(mesh, P(None, None, axis, None))
+
+
+def host_local_slice(global_index: np.ndarray) -> np.ndarray:
+    """Per-process slice of a global index order (DistributedSampler analog):
+    process p of N takes indices p::N — each host loads only its shard."""
+    return global_index[jax.process_index()::jax.process_count()]
