@@ -41,7 +41,16 @@ class Eval:
         return np.concatenate(rows, axis=0)
 
     def evaluate(self, model, state, logger=None) -> Dict[str, float]:
-        metrics = self.inference(model, state).mean(axis=0)
+        rows = self.inference(model, state)
+        if jax.process_count() > 1:
+            # multi-host: gather per-image rows across processes — the
+            # TPU-native replacement for the reference's tmpdir-pickle
+            # collection (misc.py:12-57)
+            from jax.experimental import multihost_utils
+
+            rows = np.asarray(multihost_utils.process_allgather(rows)
+                              ).reshape(-1, rows.shape[-1])
+        metrics = rows.mean(axis=0)
         ret = {name: float(metrics[i]) for i, name in enumerate(METRIC_NAMES)}
         sink = logger.log if logger is not None else print
         for k, v in ret.items():

@@ -31,6 +31,7 @@ from rdfc_gan_tpu.parallel import make_mesh, replicate_state, shard_batch
 from rdfc_gan_tpu.registry import build_dataset
 from rdfc_gan_tpu.utils import Logger, MovingAverage, set_random_seed
 from rdfc_gan_tpu.utils.checkpoint import load_checkpoint, resume_from, save_checkpoint
+from rdfc_gan_tpu.utils.profiling import StepTimer, trace
 
 
 def get_dataloaders(cfg, mesh):
@@ -86,13 +87,19 @@ def main(argv=None):
                                                   "iMAE", "REL")
     it = 0
     t0 = time.time()
+    timer = StepTimer()
+    profile_dir = cfg.get("profile_dir")
     for epoch in range(start_epoch, cfg.n_epochs):
         train_loader.set_epoch(epoch)
         if hasattr(train_loader.dataset, "set_epoch"):
             train_loader.dataset.set_epoch(epoch)
         for i, batch in enumerate(train_loader):
             step_key = jax.random.fold_in(root_key, it)
-            state, stats = engine.train_step(state, batch, step_key)
+            with trace(profile_dir if it == 50 else None):
+                state, stats = engine.train_step(state, batch, step_key)
+                if it == 50 and profile_dir:
+                    jax.block_until_ready(state)
+            timer.tick()
             it += 1
             avg.update({k: float(v) for k, v in stats.items()})
             if it % cfg.log_interval == 0:
