@@ -32,7 +32,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  sharding: Optional[jax.sharding.Sharding] = None,
-                 num_prefetch: int = 2):
+                 num_prefetch: int = 2, num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +41,9 @@ class DataLoader:
         self.epoch = 0
         self.sharding = sharding
         self.num_prefetch = num_prefetch
+        # cv2/h5py release the GIL: thread workers overlap decode with the
+        # device step (replaces torch DataLoader's worker processes)
+        self.num_workers = num_workers
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -59,25 +62,33 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
+
         idx = self._indices()
         nb = len(self)
         queue = collections.deque()
 
-        def make(i):
-            batch = _stack([self.dataset[j]
-                            for j in idx[i * self.batch_size:(i + 1) * self.batch_size]])
-            if self.sharding is not None:
-                batch = jax.device_put(batch, self.sharding)
-            return batch
+        with ThreadPoolExecutor(max_workers=max(self.num_workers, 1)) as pool:
 
-        for i in range(min(self.num_prefetch, nb)):
-            queue.append(make(i))
-        for i in range(nb):
-            out = queue.popleft()
-            nxt = i + self.num_prefetch
-            if nxt < nb:
-                queue.append(make(nxt))
-            yield out
+            def submit(i):
+                rows = idx[i * self.batch_size:(i + 1) * self.batch_size]
+                return [pool.submit(self.dataset.__getitem__, int(j))
+                        for j in rows]
+
+            def resolve(futures):
+                batch = _stack([f.result() for f in futures])
+                if self.sharding is not None:
+                    batch = jax.device_put(batch, self.sharding)
+                return batch
+
+            for i in range(min(self.num_prefetch, nb)):
+                queue.append(submit(i))
+            for i in range(nb):
+                futures = queue.popleft()
+                nxt = i + self.num_prefetch
+                if nxt < nb:
+                    queue.append(submit(nxt))
+                yield resolve(futures)
 
 
 def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 0,

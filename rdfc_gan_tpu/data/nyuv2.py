@@ -216,6 +216,17 @@ class NYUV21400PseudoDataset(NYUV21400Dataset):
         return sample
 
 
+class NYUV21400RawDataset(NYUV21400Dataset):
+    """Raw-Kinect evaluation variant (nyuv2_dataset_testing_raw.py): same
+    png layout, (256,256) resize at test time."""
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("crop_size_height", 256)
+        kw.setdefault("crop_size_width", 256)
+        super().__init__(*args, **kw)
+
+
 DATASETS.register("nyuv2")(NYUV21400Dataset)
 DATASETS.register("nyuv2_sparse")(NYUV21400SparseDataset)
 DATASETS.register("nyuv2_pseudo")(NYUV21400PseudoDataset)
+DATASETS.register("nyuv2_raw")(NYUV21400RawDataset)
