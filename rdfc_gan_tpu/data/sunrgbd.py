@@ -58,9 +58,9 @@ class SUNRGBDPseudoDataset(SUNRGBDBase, BaseDataset):
     # ------------------------------------------------------------------- io
     @staticmethod
     def get_depth_inpaint(depth: np.ndarray) -> np.ndarray:
-        d = depth.astype(np.uint16)
-        out = np.bitwise_or(np.right_shift(d, 3), np.left_shift(d, 13))
-        return out.astype(np.float32) / 1000.0
+        from .fastops import sunrgbd_depth_decode
+
+        return sunrgbd_depth_decode(depth.astype(np.uint16))
 
     def _load(self, idx):
         read = lambda p: cv2.imread(os.path.join(self.data_root, p),
