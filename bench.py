@@ -50,6 +50,25 @@ def main():
     n_chips = jax.local_device_count()
     imgs_per_sec_per_chip = iters * batch_size / dt / max(n_chips, 1)
 
+    # secondary metric (stderr): inference FPS, the reference's own harness
+    import sys
+
+    try:
+        fwd = jax.jit(lambda p, s, r, d: engine._forward_test_impl(p, s, r, d))
+        out = fwd(state.params, state.batch_stats, batch["rgb"],
+                  batch["raw_depth"])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = fwd(state.params, state.batch_stats, batch["rgb"],
+                      batch["raw_depth"])
+        jax.block_until_ready(out)
+        infer_fps = 20 * batch_size / (time.perf_counter() - t0)
+        print(f"[aux] infer_fps={infer_fps:.1f} img/s (bs{batch_size})",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[aux] infer bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec_per_chip, 3),

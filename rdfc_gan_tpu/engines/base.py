@@ -72,9 +72,20 @@ def make_optimizer(cfg, steps_per_epoch: int, *, lr_mult: float = 1.0,
     factor = make_lr_factor_fn(cfg)
     base_lr = cfg.lr * lr_mult
     spe = max(int(steps_per_epoch), 1)
+    warm_up = bool(cfg.get("warm_up", False))
+    warm_lr = float(cfg.get("warm_up_lr", 1e-6)) * lr_mult
+    warm_epochs = max(int(cfg.get("warm_up_steps", 1)), 1)
 
     def schedule(count):
-        return base_lr * factor(jnp.floor_divide(count, spe).astype(jnp.float32))
+        epoch = jnp.floor_divide(count, spe).astype(jnp.float32)
+        lr = base_lr * factor(epoch)
+        if warm_up:
+            # linear ramp warm_lr -> base_lr over warm_up_steps epochs
+            # (v1 driver warm-up, RDF-GAN/lib/tools/main.py:453-476)
+            frac = jnp.clip(count / (spe * warm_epochs), 0.0, 1.0)
+            ramp = warm_lr + (base_lr - warm_lr) * frac
+            lr = jnp.where(count < spe * warm_epochs, ramp, lr)
+        return lr
 
     if kind == "adam":
         tx = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2)

@@ -60,3 +60,33 @@ def resume_from(state_template, filename: str) -> Tuple[Any, int]:
     (checkpoint.py:138-168)."""
     state, meta = load_checkpoint(state_template, filename)
     return state, int(meta.get("epoch", 0))
+
+
+# ---------------------------------------------------------------- orbax ----
+def save_checkpoint_orbax(state, directory: str, step: int,
+                          meta: Optional[Dict] = None):
+    """Async multi-host checkpointing via orbax for large-scale runs; the
+    msgpack path above stays the default for single-host parity."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    ckptr.save(path, jax.device_get(state))
+    if meta and jax.process_index() == 0:
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(state_template, directory: str, step: int):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    state = ckptr.restore(path, jax.device_get(state_template))
+    meta = {}
+    meta_path = os.path.join(path, "meta.pkl")
+    if os.path.exists(meta_path):
+        with open(meta_path, "rb") as f:
+            meta = pickle.load(f)
+    return state, meta

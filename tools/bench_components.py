@@ -45,13 +45,15 @@ def main():
         mod = eng.modules[name]
         p, s = state.params[name], state.batch_stats[name]
 
-        def f(*a):
+        # params passed as ARGUMENTS — closing over them would inline
+        # hundreds of MB of constants into the compile payload
+        def f(p, s, *a):
             v = {"params": p}
             if s:
                 v["batch_stats"] = s
             return mod.apply(v, *a, train=False)
 
-        print(f"  {name:10s} fwd: {timeit(f, *args):8.2f} ms")
+        print(f"  {name:10s} fwd: {timeit(f, p, s, *args):8.2f} ms")
 
     net("G_label", rgb)
     net("G_normal", rgb)
