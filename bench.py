@@ -35,16 +35,19 @@ def main():
     rng = jax.random.PRNGKey(0)
     state = engine.init_state(rng, batch)
 
-    # warmup / compile
+    from rdfc_gan_tpu.utils.sync import hard_sync
+
+    # warmup / compile (hard_sync: block_until_ready is unreliable on
+    # tunneled PJRT backends — force a host readback instead)
     state, stats = engine.train_step(state, batch, rng)
-    jax.block_until_ready(state)
+    hard_sync(state.params)
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         state, stats = engine.train_step(state, batch,
                                          jax.random.fold_in(rng, i))
-    jax.block_until_ready(state)
+    hard_sync(state.params)  # state chains through every step
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()
@@ -57,12 +60,12 @@ def main():
         fwd = jax.jit(lambda p, s, r, d: engine._forward_test_impl(p, s, r, d))
         out = fwd(state.params, state.batch_stats, batch["rgb"],
                   batch["raw_depth"])
-        jax.block_until_ready(out)
+        hard_sync(out)
         t0 = time.perf_counter()
         for _ in range(20):
             out = fwd(state.params, state.batch_stats, batch["rgb"],
                       batch["raw_depth"])
-        jax.block_until_ready(out)
+            hard_sync(out)  # per-call readback = deployment semantics
         infer_fps = 20 * batch_size / (time.perf_counter() - t0)
         print(f"[aux] infer_fps={infer_fps:.1f} img/s (bs{batch_size})",
               file=sys.stderr)

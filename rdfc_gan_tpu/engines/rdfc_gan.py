@@ -17,6 +17,8 @@ Parity target: lib/models/rdfc_gan.py:21-413.
 
 Bug-for-bug reproductions (SURVEY.md §7.3-8): fake_B is pepper-noised BEFORE
 the discriminator, the cycle, and the A2B L1 term; λl1*5 / *3 boosts kept.
+Conscious fix: the reference logs loss_A2B_L1 with the B2A value
+(rdfc_gan.py:276, a logging bug) — we log the true value.
 Intentional deltas: the reference recomputes G_normal(fake_A), G_A2B(fake_A)
 and G_B2A(fake_B) twice per step (forward + backward_G); here each runs once
 inside the loss (same gradients, ~30% less compute, single BN-stat update).

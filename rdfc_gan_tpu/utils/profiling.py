@@ -32,10 +32,12 @@ def fps_harness(forward: Callable, batches: Iterable, n_images: int = 300,
                 warmup: int = 5) -> float:
     """img/s over ``n_images`` with ``warmup`` discarded calls
     (reference --cal_fps protocol; device-sync via block_until_ready)."""
+    from .sync import hard_sync
+
     it = iter(batches)
     batch = next(it)
     for _ in range(warmup):
-        jax.block_until_ready(forward(batch))
+        hard_sync(forward(batch))
     done = 0
     t0 = time.perf_counter()
     while done < n_images:
@@ -44,7 +46,7 @@ def fps_harness(forward: Callable, batches: Iterable, n_images: int = 300,
         except StopIteration:
             it = iter(batches)
             batch = next(it)
-        jax.block_until_ready(forward(batch))
+        hard_sync(forward(batch))
         done += jax.tree.leaves(batch)[0].shape[0]
     return done / (time.perf_counter() - t0)
 

@@ -28,10 +28,12 @@ def cal_fps(engine, state, loader, n_images: int = 300, warmup: int = 5,
             logger=None):
     it = iter(loader)
     batch = next(it)
+    from rdfc_gan_tpu.utils.sync import hard_sync
+
     for _ in range(warmup):
         ret = engine.forward_test(state, rgb=batch["rgb"],
                                   raw_depth=batch["raw_depth"])
-        jax.block_until_ready(ret)
+        hard_sync(ret)
     done = 0
     t0 = time.perf_counter()
     while done < n_images:
@@ -42,7 +44,7 @@ def cal_fps(engine, state, loader, n_images: int = 300, warmup: int = 5,
             batch = next(it)
         ret = engine.forward_test(state, rgb=batch["rgb"],
                                   raw_depth=batch["raw_depth"])
-        jax.block_until_ready(ret)
+        hard_sync(ret)
         done += batch["rgb"].shape[0]
     dt = time.perf_counter() - t0
     fps = done / dt

@@ -17,13 +17,14 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=10, warmup=2):
+    from rdfc_gan_tpu.utils.sync import hard_sync
+
     f = jax.jit(fn)
     for _ in range(warmup):
-        jax.block_until_ready(f(*args))
+        hard_sync(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
+        hard_sync(f(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -73,13 +74,15 @@ def main():
         try:
             s2 = e2.init_state(jax.random.PRNGKey(0), b2)
             rng = jax.random.PRNGKey(1)
+            from rdfc_gan_tpu.utils.sync import hard_sync
+
             s2, _ = e2.train_step(s2, b2, rng)  # compile
-            jax.block_until_ready(s2)
+            hard_sync(s2.params)
             t0 = time.perf_counter()
             iters = 10
             for i in range(iters):
                 s2, _ = e2.train_step(s2, b2, jax.random.fold_in(rng, i))
-            jax.block_until_ready(s2)
+            hard_sync(s2.params)
             dt = (time.perf_counter() - t0) / iters
             print(f"  train_step bs{bs:<2d}: {dt * 1e3:8.2f} ms  "
                   f"-> {bs / dt:7.1f} img/s/chip")

@@ -21,14 +21,16 @@ import numpy as np
 
 
 def bench(fn, *args, iters=20, warmup=3):
+    from rdfc_gan_tpu.utils.sync import hard_sync
+
     f = jax.jit(fn)
     for _ in range(warmup):
-        jax.block_until_ready(f(*args))
+        hard_sync(f(*args))
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+        acc += hard_sync(f(*args))
+    return (time.perf_counter() - t0) / iters * 1e3  # ms (incl ~20ms RTT)
 
 
 def main():
@@ -59,7 +61,8 @@ def main():
         lambda r, c: nlspn_offset_affinity(r, c, gamma, spec))(raw, conf)
     M = jax.jit(lambda o, a: build_shift_masks(o, a, spec.prop_kernel,
                                                args.radius))(offsets, aff)
-    jax.block_until_ready((offsets, aff, M))
+    from rdfc_gan_tpu.utils.sync import hard_sync
+    hard_sync((offsets, aff, M))
     print(f"backend={jax.default_backend()} B={B} {H}x{W} T={spec.prop_time} "
           f"R={args.radius} masks={M.size * 2 / 1e6:.1f}MB(bf16)")
 

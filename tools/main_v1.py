@@ -143,8 +143,10 @@ def main(argv=None):
         # 300 imgs, 5 warmup, device-sync bracketed (main.py:318-350)
         it = iter(val_loader)
         batch = jax.tree.map(jnp.asarray, next(it))
+        from rdfc_gan_tpu.utils.sync import hard_sync
+
         for _ in range(5):
-            jax.block_until_ready(engine.forward_test(
+            hard_sync(engine.forward_test(
                 state, rgb=batch["rgb"], raw_depth=batch["raw_depth"]))
         done, t0 = 0, time.perf_counter()
         while done < 300:
@@ -153,7 +155,7 @@ def main(argv=None):
             except StopIteration:
                 it = iter(val_loader)
                 continue
-            jax.block_until_ready(engine.forward_test(
+            hard_sync(engine.forward_test(
                 state, rgb=batch["rgb"], raw_depth=batch["raw_depth"]))
             done += batch["rgb"].shape[0]
         fps = done / (time.perf_counter() - t0)
