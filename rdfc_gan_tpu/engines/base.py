@@ -137,14 +137,27 @@ class BaseEngine:
         variables = init_fn(rngs, *example_inputs)
         return variables.get("params", {}), variables.get("batch_stats", {})
 
-    def _apply(self, mod, params, stats, *args, train: bool, rngs=None):
+    def _remat_enabled(self, name: Optional[str]) -> bool:
+        """cfg.remat: True (all nets), False, or 'selective' — remat only the
+        nets in cfg.remat_nets (default: the big aux torsos). Selective mode
+        trades ~0.5 GB of extra activations for skipping the +1 recompute on
+        the cheap nets."""
+        policy = self.cfg.get("remat", True)
+        if policy == "selective":
+            nets = set(self.cfg.get("remat_nets",
+                                    ["G_normal", "G_label", "G_A2B"]))
+            return name in nets
+        return bool(policy)
+
+    def _apply(self, mod, params, stats, *args, train: bool, rngs=None,
+               name: Optional[str] = None):
         """Apply with batch_stats threading. Returns (out, new_stats).
 
         Train-mode applications are rematerialized (jax.checkpoint): the GAN
         step applies six sub-nets, several twice, and keeping every
         activation live for the backward pass exceeds v5e HBM at the
         reference's bs4/(224,304) envelope — recompute on the backward pass
-        instead (cfg.remat, default on)."""
+        instead (cfg.remat, default on; 'selective' remats cfg.remat_nets)."""
         has_stats = bool(stats)
         cd = self.compute_dtype if train else None
 
@@ -166,7 +179,7 @@ class BaseEngine:
                 return out, mut["batch_stats"]
             return mod.apply(variables, *a, train=train, rngs=rngs), s
 
-        if train and getattr(self.cfg, "get", lambda *_: True)("remat", True):
+        if train and self._remat_enabled(name):
             fn = jax.checkpoint(fn)
         return fn(params, stats, *args)
 

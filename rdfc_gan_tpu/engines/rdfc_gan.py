@@ -148,31 +148,33 @@ class RDFCGAN(BaseEngine):
             # --- A -> B path
             lbl_realA, st["G_label"] = self._apply(
                 mods["G_label"], gp["G_label"], st["G_label"], real_A,
-                train=True, rngs=rngs)
+                train=True, rngs=rngs, name="G_label")
             nrm_realA, st["G_normal"] = self._apply(
                 mods["G_normal"], gp["G_normal"], st["G_normal"], real_A,
-                train=True)
+                train=True, name="G_normal")
             nrm_realA = norm_normalize(nrm_realA[..., :3])
             retAB, st["G_A2B"] = self._apply(
                 mods["G_A2B"], gp["G_A2B"], st["G_A2B"], real_A, aux_A,
-                nrm_realA, train=True)
+                nrm_realA, train=True, name="G_A2B")
             fake_B = add_pepper_noise(retAB["pred_depth"], rng_pepper)
             rec_A, st["G_B2A"] = self._apply(
-                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], fake_B, train=True)
+                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], fake_B, train=True,
+                name="G_B2A")
 
             # --- B -> A path
             fake_A, st["G_B2A"] = self._apply(
-                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], real_B, train=True)
+                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], real_B, train=True,
+                name="G_B2A")
             lbl_fakeA, st["G_label"] = self._apply(
                 mods["G_label"], gp["G_label"], st["G_label"], fake_A,
-                train=True, rngs=rngs)
+                train=True, rngs=rngs, name="G_label")
             nrm_fakeA, st["G_normal"] = self._apply(
                 mods["G_normal"], gp["G_normal"], st["G_normal"], fake_A,
-                train=True)
+                train=True, name="G_normal")
             nrm_fakeA = norm_normalize(nrm_fakeA[..., :3])
             retBA, st["G_A2B"] = self._apply(
                 mods["G_A2B"], gp["G_A2B"], st["G_A2B"], fake_A, aux_A,
-                nrm_fakeA, train=True)
+                nrm_fakeA, train=True, name="G_A2B")
             rec_B = retBA["pred_depth"]
 
             # --- adversarial terms (D params fixed; stats still advance)

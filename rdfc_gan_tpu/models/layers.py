@@ -35,12 +35,14 @@ def leaky_relu02(x):
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-image, per-channel normalization; no affine (torch IN2d default).
 
-    Statistics are computed in float32 regardless of the activation dtype —
-    bf16 variance is numerically unsafe."""
+    Statistics are computed in float32 (bf16 variance is numerically unsafe)
+    but the normalization itself applies in the activation dtype, so bf16
+    feature maps stay bf16 (half the HBM traffic at full resolution)."""
     x32 = x.astype(jnp.float32)
     mean = x32.mean(axis=(1, 2), keepdims=True)
     var = x32.var(axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
+    scale = jnp.reciprocal(jnp.sqrt(var + eps)).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * scale
 
 
 class ConvBNAct(nn.Module):

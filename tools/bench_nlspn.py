@@ -20,17 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(fn, *args, iters=20, warmup=3):
+def bench_chained(fn, feat, *rest, reps=50):
+    """Time fn by chaining `reps` applications inside ONE jit (feat feeds
+    back), then a single host readback — amortizes the ~20ms tunnel RTT that
+    would otherwise swamp ms-scale kernels."""
     from rdfc_gan_tpu.utils.sync import hard_sync
 
-    f = jax.jit(fn)
-    for _ in range(warmup):
-        hard_sync(f(*args))
+    f = jax.jit(lambda ft, *r: jax.lax.fori_loop(
+        0, reps, lambda i, x: fn(x, *r), ft))
+    hard_sync(f(feat, *rest))  # compile + warm
     t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(iters):
-        acc += hard_sync(f(*args))
-    return (time.perf_counter() - t0) / iters * 1e3  # ms (incl ~20ms RTT)
+    hard_sync(f(feat, *rest))
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
 def main():
@@ -66,17 +67,17 @@ def main():
     print(f"backend={jax.default_backend()} B={B} {H}x{W} T={spec.prop_time} "
           f"R={args.radius} masks={M.size * 2 / 1e6:.1f}MB(bf16)")
 
-    t = bench(lambda f, o, a: nlspn_propagate(f, o, a, spec), feat, offsets,
-              aff)
-    print(f"gather-scan   : {t:8.3f} ms")
-    t = bench(lambda f, m: stencil_propagate(f, m, spec.prop_time,
-                                             args.radius), feat, M)
-    print(f"xla-stencil   : {t:8.3f} ms")
+    t = bench_chained(lambda f, o, a: nlspn_propagate(f, o, a, spec),
+                      feat, offsets, aff, reps=5)
+    print(f"gather-scan   : {t:8.3f} ms", flush=True)
+    t = bench_chained(lambda f, m: stencil_propagate(f, m, spec.prop_time,
+                                                     args.radius), feat, M)
+    print(f"xla-stencil   : {t:8.3f} ms", flush=True)
     try:
-        t = bench(lambda f, m: nlspn_stencil_propagate_pallas(
+        t = bench_chained(lambda f, m: nlspn_stencil_propagate_pallas(
             f, m, jnp.zeros_like(f), spec.prop_time, args.radius, False),
             feat, M)
-        print(f"pallas-stencil: {t:8.3f} ms")
+        print(f"pallas-stencil: {t:8.3f} ms", flush=True)
     except Exception as e:
         print(f"pallas-stencil: FAILED {type(e).__name__}: {e}")
 
