@@ -77,8 +77,11 @@ def softmax_cross_entropy_loss(logits, labels, num_classes: Optional[int] = None
     the RDFCGAN engine (rdfc_gan.py:57).
     """
     logz = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logz, labels[..., None].astype(jnp.int32), axis=-1)
-    return -ll.mean()
+    # one-hot contraction instead of take_along_axis: per-pixel gathers are
+    # slow on TPU; C is small so the multiply-add is effectively free
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), logits.shape[-1],
+                            dtype=logz.dtype)
+    return -(logz * onehot).sum(-1).mean()
 
 
 def norm_normalize(norm_out):

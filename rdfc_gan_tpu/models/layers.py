@@ -270,32 +270,45 @@ class NonBottleneck1D(nn.Module):
         return nn.relu(out + identity)
 
 
+def _interp_matrix(src: int, dst: int) -> "np.ndarray":
+    """(dst, src) align-corners bilinear interpolation matrix (trace-time
+    numpy constant)."""
+    import numpy as np
+
+    m = np.zeros((dst, src), np.float32)
+    if dst == 1 or src == 1:
+        m[:, 0] = 1.0
+        return m
+    pos = np.linspace(0.0, src - 1, dst)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, src - 1)
+    frac = (pos - lo).astype(np.float32)
+    m[np.arange(dst), lo] += 1.0 - frac
+    m[np.arange(dst), hi] += frac
+    return m
+
+
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int],
                     align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize, NHWC, with torch-style align_corners option.
 
     jax.image.resize implements the align_corners=False (half-pixel)
-    convention; align_corners=True is reproduced via explicit gather.
-    """
+    convention. align_corners=True runs as two dense interpolation matmuls
+    (MXU-shaped, matrices are trace-time constants) — per-pixel gathers are
+    pathological on the TPU vector units."""
     B, H, W, C = x.shape
     h, w = size
     if (H, W) == (h, w):
         return x
     if not align_corners:
         return jax.image.resize(x, (B, h, w, C), method="bilinear")
-    # align_corners=True: sample positions i*(H-1)/(h-1)
-    ys = jnp.linspace(0.0, H - 1, h)
-    xs = jnp.linspace(0.0, W - 1, w)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-    g = lambda yi, xi: x[:, yi][:, :, xi]
-    top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
-    bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
-    return top * (1 - wy) + bot * wy
+    wy = jnp.asarray(_interp_matrix(H, h), x.dtype)  # (h, H)
+    wx = jnp.asarray(_interp_matrix(W, w), x.dtype)  # (w, W)
+    out = jnp.einsum("hH,bHWc->bhWc", wy, x,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("wW,bhWc->bhwc", wx, out.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
