@@ -101,6 +101,11 @@ def make_optimizer(cfg, steps_per_epoch: int, *, lr_mult: float = 1.0,
 
     if getattr(cfg, "clip_grad", False):
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_norm), tx)
+    if cfg.get("fused_optimizer", True):
+        # collapse the per-parameter update zoo (a six-net GAN has thousands
+        # of small tensors -> thousands of tiny kernels) into ONE flattened
+        # elementwise pass over a single concatenated vector
+        tx = optax.flatten(tx)
     return tx
 
 
