@@ -27,7 +27,7 @@ def main():
     from rdfc_gan_tpu.engines import build_engine
 
     cfg = _flagship_cfg()
-    batch_size = 4
+    batch_size = 8  # step time is launch-overhead-bound; bs8 ~doubles img/s
     cfg.merge(dict(batch_size=batch_size))
     engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
 

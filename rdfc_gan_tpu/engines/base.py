@@ -101,7 +101,7 @@ def make_optimizer(cfg, steps_per_epoch: int, *, lr_mult: float = 1.0,
 
     if getattr(cfg, "clip_grad", False):
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_norm), tx)
-    if cfg.get("fused_optimizer", True):
+    if cfg.get("fused_optimizer", False):
         # collapse the per-parameter update zoo (a six-net GAN has thousands
         # of small tensors -> thousands of tiny kernels) into ONE flattened
         # elementwise pass over a single concatenated vector
