@@ -188,6 +188,28 @@ class BaseEngine:
             fn = jax.checkpoint(fn)
         return fn(params, stats, *args)
 
+    # -- multi-step execution ------------------------------------------------
+    def make_chunked_step(self, n_steps: int):
+        """Return a jitted fn running ``n_steps`` train steps in ONE XLA
+        program via lax.scan over a stacked batch (leaves (K, B, ...)).
+        Amortizes per-execution dispatch/RTT on remote backends and lets XLA
+        overlap step boundaries; loss stats are returned per step (K, ...)."""
+        import functools
+
+        def chunked(state, stacked_batch, rng):
+            keys = jax.random.split(rng, n_steps)
+
+            def body(st, xs):
+                b, k = xs
+                st, stats = self._train_step_impl(st, b, k)
+                return st, stats
+
+            return jax.lax.scan(body, state, (stacked_batch, keys))
+
+        return jax.jit(chunked,
+                       donate_argnums=(0,) if self.cfg.get("donate", True)
+                       else ())
+
     def current_lr(self, state: GANTrainState) -> float:
         factor = make_lr_factor_fn(self.cfg)
         epoch = int(state.step) // self.steps_per_epoch
