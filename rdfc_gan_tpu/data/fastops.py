@@ -20,14 +20,29 @@ _LIB: Optional[ctypes.CDLL] = None
 
 def _find_lib() -> Optional[ctypes.CDLL]:
     here = os.path.dirname(os.path.abspath(__file__))
-    for cand in (
+    candidates = (
         os.path.join(here, "..", "..", "native", "libfastops.so"),
         os.path.join(here, "libfastops.so"),
-    ):
+    )
+    for cand in candidates:
         if os.path.exists(cand):
             lib = ctypes.CDLL(cand)
             _declare(lib)
             return lib
+    # lazy one-shot build (dependency-free C++; ~1s)
+    src = os.path.join(here, "..", "..", "native", "fastops.cpp")
+    if os.path.exists(src):
+        import subprocess
+
+        try:
+            subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-o",
+                            candidates[0], src], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(candidates[0])
+            _declare(lib)
+            return lib
+        except Exception:
+            pass
     return None
 
 
