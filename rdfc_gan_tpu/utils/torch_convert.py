@@ -114,3 +114,39 @@ def _bn(g: Dict[str, np.ndarray]) -> Dict[str, Any]:
         "params": {"scale": g["weight"], "bias": g["bias"]},
         "batch_stats": {"mean": g["running_mean"], "var": g["running_var"]},
     }
+
+
+def split_stage_tree(stage_tree: Dict[str, Any]):
+    """Split a torchvision_resnet_to_stages stage into (params, batch_stats)
+    trees matching our ResNetStage collections."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for blk, sub in stage_tree.items():
+        params[blk] = {}
+        for k, v in sub.items():
+            if k.startswith("BatchNorm"):
+                params[blk][k] = v["params"]
+                stats.setdefault(blk, {})[k] = v["batch_stats"]
+            else:
+                params[blk][k] = v
+    return params, stats
+
+
+def load_resnet_torso(ed_params: Dict[str, Any], ed_stats: Dict[str, Any],
+                      sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Load torchvision resnet18/34 layer1-4 weights into an EncoderDecoder's
+    en2..en5 stages (the pretrained_on_imagenet path the reference gets from
+    pretrained_model/resnet/*.pth — encoder_decoder/common.py:5-26).
+
+    Mutates + returns (ed_params, ed_stats) copies."""
+    tree = torchvision_resnet_to_stages(sd, prefix)
+    ed_params = dict(ed_params)
+    ed_stats = dict(ed_stats)
+    for i, layer in enumerate(("layer1", "layer2", "layer3", "layer4"),
+                              start=2):
+        if not tree[layer]:
+            continue
+        p, s = split_stage_tree(tree[layer])
+        ed_params[f"en{i}"] = p
+        ed_stats[f"en{i}"] = s
+    return ed_params, ed_stats
