@@ -64,6 +64,18 @@ class RDFGAN(BaseEngine):
                 "G": self.optimizers["G"].init(g_params),
                 "D": self.optimizers["D"].init(d_params),
             }
+        pth = self.cfg.get("pretrained_resnet_path")
+        if pth:
+            # imagenet torsos for the two-branch generator (common.py:12-26)
+            import os
+
+            if os.path.exists(pth):
+                from ..utils.torch_convert import apply_pretrained_torsos
+
+                key = "G"
+                params[key], stats[key] = apply_pretrained_torsos(
+                    params[key], stats[key], pth)
+
         return GANTrainState(step=jnp.zeros((), jnp.int32), params=params,
                              batch_stats=stats, opt_states=opt_states)
 

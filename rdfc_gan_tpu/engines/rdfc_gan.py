@@ -116,6 +116,18 @@ class RDFCGAN(BaseEngine):
                 "Nor": self.optimizers["Nor"].init(params["G_normal"]),
                 "label": self.optimizers["label"].init(params["G_label"]),
             }
+        pth = self.cfg.get("pretrained_resnet_path")
+        if pth:
+            # imagenet torsos for the two-branch generator (common.py:12-26)
+            import os
+
+            if os.path.exists(pth):
+                from ..utils.torch_convert import apply_pretrained_torsos
+
+                key = "G_A2B"
+                params[key], stats[key] = apply_pretrained_torsos(
+                    params[key], stats[key], pth)
+
         return GANTrainState(step=jnp.zeros((), jnp.int32), params=params,
                              batch_stats=stats, opt_states=opt_states)
 

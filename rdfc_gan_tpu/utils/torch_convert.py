@@ -132,6 +132,34 @@ def split_stage_tree(stage_tree: Dict[str, Any]):
     return params, stats
 
 
+def apply_pretrained_torsos(net_params: Dict[str, Any],
+                            net_stats: Dict[str, Any], pth_path: str):
+    """Load a torchvision resnet .pth into every EncoderDecoder torso
+    (``rgb_ed`` / ``depth_ed`` subtrees) of a generator's param tree — the
+    ``pretrained_on_imagenet`` behavior (common.py:12-26). Returns updated
+    (params, stats)."""
+    sd = load_torch_state_dict(pth_path)
+    net_params = dict(net_params)
+    net_stats = dict(net_stats)
+    if "core" in net_params:  # DCVGANGenerator nests an RDFGenerator core
+        net_params["core"], net_stats["core"] = apply_torso_dicts(
+            net_params["core"], net_stats.get("core", {}), sd)
+        return net_params, net_stats
+    return apply_torso_dicts(net_params, net_stats, sd)
+
+
+def apply_torso_dicts(net_params, net_stats, sd):
+    net_params = dict(net_params)
+    net_stats = dict(net_stats)
+    for branch in ("rgb_ed", "depth_ed"):
+        if branch in net_params:
+            p, s = load_resnet_torso(net_params[branch],
+                                     net_stats.get(branch, {}), sd)
+            net_params[branch] = p
+            net_stats[branch] = s
+    return net_params, net_stats
+
+
 def load_resnet_torso(ed_params: Dict[str, Any], ed_stats: Dict[str, Any],
                       sd: Dict[str, np.ndarray], prefix: str = ""):
     """Load torchvision resnet18/34 layer1-4 weights into an EncoderDecoder's
