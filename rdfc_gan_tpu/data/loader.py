@@ -32,7 +32,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  sharding: Optional[jax.sharding.Sharding] = None,
-                 num_prefetch: int = 2, num_workers: int = 4):
+                 num_prefetch: int = 2, num_workers: int = 4,
+                 per_process: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,12 +45,17 @@ class DataLoader:
         # cv2/h5py release the GIL: thread workers overlap decode with the
         # device step (replaces torch DataLoader's worker processes)
         self.num_workers = num_workers
+        self.per_process = per_process
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self):
         n = len(self.dataset)
+        if self.per_process:
+            import jax as _jax
+
+            n = len(range(_jax.process_index(), n, _jax.process_count()))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -59,6 +65,11 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed * 1000003 + self.epoch).shuffle(idx)
+        if self.per_process:
+            # multi-host: each process loads only its shard of the global
+            # order (DistributedSampler analog; same seed => same global
+            # permutation on every host)
+            idx = idx[jax.process_index()::jax.process_count()]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -98,8 +109,11 @@ def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 0,
                      sharding=None) -> DataLoader:
     """API-parity wrapper for the missing reference factory
     (SURVEY.md §0). ``samples_per_gpu`` scales to the global batch across the
-    addressable device count when a sharding is given."""
-    del workers_per_gpu, pin_memory, dist
+    addressable device count when a sharding is given; ``dist`` maps to
+    per-process index slicing (DistributedSampler analog)."""
+    del pin_memory
     batch = samples_per_gpu * max(num_gpus, 1)
     return DataLoader(dataset, batch, shuffle=shuffle, drop_last=drop_last,
-                      seed=seed, sharding=sharding)
+                      seed=seed, sharding=sharding,
+                      num_workers=max(workers_per_gpu, 1),
+                      per_process=bool(dist))
