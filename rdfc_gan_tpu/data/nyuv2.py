@@ -17,7 +17,7 @@ Variants ported as modes of this class + siblings:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import cv2
 import numpy as np

@@ -12,7 +12,7 @@ pixels to VOID (True = hole), except RandomPseudoHole which directly writes
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import cv2
 import numpy as np

@@ -16,7 +16,6 @@ flipping becomes "take grads only w.r.t. the right subtree".
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

@@ -10,7 +10,7 @@ metric sum is computed globally by XLA — no host gather at all.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ API for list-of-results evaluation.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

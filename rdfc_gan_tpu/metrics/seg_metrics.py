@@ -6,7 +6,7 @@ rate schedule and segmentation eval helpers used with PSPNet).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

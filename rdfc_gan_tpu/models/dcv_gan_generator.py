@@ -14,10 +14,9 @@ the guidance module's logits feed the semantic branch.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..registry import GENERATORS
 from .esanet import ESANetOneModality

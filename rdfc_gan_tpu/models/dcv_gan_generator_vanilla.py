@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..registry import GENERATORS
 from .esanet import ConvBNActESA, ESANetOneModality, LearnedUpsample
-from .layers import AdaIN, AdaptiveInstanceNorm, NonBottleneck1D, bilinear_resize
+from .layers import AdaIN, AdaptiveInstanceNorm, NonBottleneck1D
 from .resnet import ResNetStem, make_stages
 
 

@@ -17,7 +17,7 @@ axis (``axis_name``) — the SyncBN the reference registers but never ships
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

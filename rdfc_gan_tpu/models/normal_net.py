@@ -16,7 +16,7 @@ converter instead (utils/torch_convert.py).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

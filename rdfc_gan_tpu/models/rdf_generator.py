@@ -17,7 +17,7 @@ semantic map) replaces the normal input (rdf_gan_generator.py:231-240).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .layers import kaiming_init
 

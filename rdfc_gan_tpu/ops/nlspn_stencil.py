@@ -31,7 +31,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .deform import kernel_grid_offsets
 from .nlspn import NLSPNParamsSpec
@@ -70,10 +69,6 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
 
     # 4 corners: (dy, dx) in {0,1}^2, weight = bilinear * affinity
     M = jnp.zeros((B, S * S, H, W), jnp.float32)
-    hw_y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    hw_x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    del hw_y, hw_x  # shifts are relative; absolute coords not needed
-
     wy1 = frac[..., 0]
     wx1 = frac[..., 1]
     corners = (
