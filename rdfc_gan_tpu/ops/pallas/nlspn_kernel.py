@@ -32,26 +32,31 @@ from jax.experimental.pallas import tpu as pltpu
 from ..nlspn_stencil import shift_window, stencil_propagate
 
 
-def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, fp, *,
+def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, fp, acc, *,
             T: int, S: int, lo: int, pad: int, preserve: bool):
     H, W = feat_ref.shape[1], feat_ref.shape[2]
     # zero the padded scratch once; borders stay zero (CUDA zero-pad parity)
     fp[...] = jnp.zeros_like(fp)
+    acc[...] = feat_ref[0].astype(jnp.float32)
 
-    def body(t, feat):
+    def body(t, _):
+        feat = acc[...]
         if preserve:
             feat = jnp.where(fixmask_ref[0] != 0, fix_ref[0], feat)
         fp[pad:pad + H, pad:pad + W] = feat
-        acc = jnp.zeros((H, W), jnp.float32)
+        # in-place ref accumulation: a functional acc chain keeps all S*S
+        # unrolled slice temporaries live on the Mosaic stack (VMEM OOM)
+        acc[...] = jnp.zeros((H, W), jnp.float32)
         for iy in range(S):
             for ix in range(S):
                 dy, dx = lo + iy, lo + ix
                 m = M_ref[0, iy, ix].astype(jnp.float32)
-                acc = acc + m * fp[pad + dy:pad + dy + H,
+                acc[...] += m * fp[pad + dy:pad + dy + H,
                                    pad + dx:pad + dx + W]
-        return acc
+        return 0
 
-    out_ref[0] = jax.lax.fori_loop(0, T, body, feat_ref[0].astype(jnp.float32))
+    jax.lax.fori_loop(0, T, body, 0)
+    out_ref[0] = acc[...]
 
 
 def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
@@ -68,7 +73,12 @@ def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
         in_specs=[
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            # single-buffer the mask stack: it is the VMEM budget (~8.7 MiB
+            # bf16 at 224x304); double-buffered prefetch of the next batch
+            # item's masks would double it and blow the 16 MiB budget. Its
+            # DMA (~10 us) is negligible vs the T-step compute.
             pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -78,7 +88,8 @@ def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
         out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+                        pltpu.VMEM((H, W), jnp.float32)],
     )(feat0, M, fix, fixmask)
 
 
