@@ -23,6 +23,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from rdfc_gan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from __graft_entry__ import _flagship_cfg, _synth_batch
     from rdfc_gan_tpu.engines import build_engine
 

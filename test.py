@@ -54,6 +54,9 @@ def cal_fps(engine, state, loader, n_images: int = 300, warmup: int = 5,
 
 def main(argv=None):
     cfg = parse_config(argv)
+    from rdfc_gan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     set_random_seed(cfg.seed)
     logger = Logger(cfg.work_dir)
     mesh = make_mesh(cfg.get("mesh_shape"))

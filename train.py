@@ -54,6 +54,9 @@ def get_dataloaders(cfg, mesh):
 
 def main(argv=None):
     cfg = parse_config(argv)
+    from rdfc_gan_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     root_key = set_random_seed(cfg.seed)
     logger = Logger(cfg.work_dir)
     logger.log(f"devices: {jax.devices()}")
