@@ -116,6 +116,31 @@ def sunrgbd_depth_decode(depth: np.ndarray) -> np.ndarray:
     return v.astype(np.float32) / 1000.0
 
 
+def pepper_mask(shape, snr: float, seed: int) -> np.ndarray:
+    """0/1/2 salt-pepper label mask (reference helper.py:397 distribution)."""
+    n = int(np.prod(shape))
+    if available():
+        out = np.empty(n, np.uint8)
+        _LIB.pepper_mask(out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         n, snr, seed & 0xFFFFFFFFFFFFFFFF)
+        return out.reshape(shape)
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(size=shape)
+    half = (1.0 - snr) / 2.0
+    return np.where(u < snr, 0, np.where(u < snr + half, 1, 2)).astype(np.uint8)
+
+
+def depth_mm_to_m(depth: np.ndarray, scale: float = 1e-3) -> np.ndarray:
+    depth = np.ascontiguousarray(depth, np.uint16)
+    if available():
+        out = np.empty(depth.shape, np.float32)
+        _LIB.depth_mm_to_m(
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            _f32(out), depth.size, scale)
+        return out
+    return depth.astype(np.float32) * scale
+
+
 def hole_image(img: np.ndarray, hole_h: int, hole_w: int, num: int,
                seed: int) -> np.ndarray:
     out = np.ascontiguousarray(img, np.float32).copy()

@@ -39,3 +39,16 @@ def test_hole_image_zeroes():
     out = F.hole_image(img, 8, 8, 3, seed=3)
     holes = int((out == 0).sum())
     assert 64 <= holes <= 3 * 64  # overlaps possible (reference behavior)
+
+
+def test_pepper_mask_distribution():
+    m = F.pepper_mask((256, 256), snr=0.98, seed=1)
+    frac = (m > 0).mean()
+    assert 0.01 < frac < 0.03  # ~2% corrupted
+    assert set(np.unique(m)) <= {0, 1, 2}
+
+
+def test_depth_mm_to_m():
+    d = np.array([[0, 1000, 12345]], np.uint16)
+    out = F.depth_mm_to_m(d)
+    np.testing.assert_allclose(out, [[0.0, 1.0, 12.345]], atol=1e-5)
