@@ -172,6 +172,7 @@ class NYUV21400SparseDataset(NYUV21400Dataset):
     (nyuv2_dataset_training_sample_from_raw.py)."""
 
     def __init__(self, *args, **kw):
+        kw.setdefault("height", 256)  # shorter-side resize target
         kw.setdefault("crop_size_height", 256)
         kw.setdefault("crop_size_width", 256)
         super().__init__(*args, **kw)
