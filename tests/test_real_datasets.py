@@ -140,3 +140,111 @@ def test_loader_over_real_fixture(nyuv2_root):
     batch = next(iter(dl))
     assert batch["rgb"].shape == (2, 224, 304, 3)
     assert batch["labels"].dtype == np.int32
+
+
+@pytest.fixture
+def s2d_root(tmp_path):
+    import h5py
+    import json
+
+    root = str(tmp_path / "s2d")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(2)
+    split = {"train": [], "val": []}
+    for mode in ("train", "val"):
+        for i in range(2):
+            fn = f"{mode}_{i}.h5"
+            with h5py.File(os.path.join(root, fn), "w") as f:
+                f["rgb"] = rng.randint(0, 255, (3, 480, 640), dtype=np.uint8)
+                f["depth"] = rng.uniform(0.5, 9, (480, 640)).astype(np.float32)
+            split[mode].append({"filename": fn})
+    with open(os.path.join(root, "nyu.json"), "w") as f:
+        json.dump(split, f)
+    return root
+
+
+def test_nyuv2_s2d_hdf5(s2d_root):
+    from rdfc_gan_tpu.data.nyuv2_s2d import NYUV2S2DDataset
+
+    ds = NYUV2S2DDataset(s2d_root, mode="train", num_sample=50)
+    s = ds[0]
+    assert s["rgb"].shape == (228, 304, 3)
+    assert s["raw_depth"].shape == (228, 304, 1)
+    assert (s["raw_depth"] != 0).sum() <= 50
+
+    dt = NYUV2S2DDataset(s2d_root, mode="val", num_sample=50)
+    st = dt[0]
+    assert "gt_depth_origin" in st
+    assert st["gt_depth_origin"].shape == (228, 304)
+
+
+def test_nyuv2_r2r_hdf5(s2d_root):
+    from rdfc_gan_tpu.data.nyuv2_r2r import NYUV2R2RDataset
+
+    ds = NYUV2R2RDataset(s2d_root, mode="train")
+    s = ds[0]
+    assert s["rgb"].shape == (256, 320, 3)
+    assert s["gt_depth"].shape == (256, 320, 1)
+
+
+@pytest.fixture
+def ddrnet_root(tmp_path):
+    root = str(tmp_path / "ddr")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(2):
+        h, w = 480, 640
+        paths = {}
+        for kind, arr in (
+            ("rgb", rng.randint(0, 255, (h, w, 3), dtype=np.uint8)),
+            ("raw", rng.randint(500, 2900, (h, w)).astype(np.uint16)),
+            ("gt", rng.randint(500, 2900, (h, w)).astype(np.uint16)),
+            ("mask", (rng.uniform(size=(h, w)) > 0.3).astype(np.uint8) * 255),
+        ):
+            p = os.path.join(root, f"{i}_{kind}.png")
+            _write_png(p, arr)
+            paths[kind] = p
+        rows.append(f"{paths['rgb']},{paths['raw']},{paths['gt']},{paths['mask']}")
+    for mode in ("train", "val"):
+        with open(os.path.join(root, f"{mode}.csv"), "w") as f:
+            f.write("\n".join(rows))
+    return root
+
+
+def test_ddrnet_human(ddrnet_root):
+    from rdfc_gan_tpu.data.ddrnet_human import DDRNetHumanDataset
+
+    ds = DDRNetHumanDataset(ddrnet_root, mode="train", times=3)
+    assert len(ds) == 6  # epoch multiplier
+    s = ds.get_train_data(0)
+    assert s["rgb"].shape == (480, 640, 3)
+    assert s["raw_depth"].shape == (480, 640, 1)
+    dt = DDRNetHumanDataset(ddrnet_root, mode="val")
+    st = dt.get_test_data(0)
+    assert "evaluate_mask" in st
+
+
+@pytest.fixture
+def folder_root(tmp_path):
+    root = str(tmp_path / "cg")
+    rng = np.random.RandomState(4)
+    for split in ("train", "val"):
+        for i in range(2):
+            _write_png(f"{root}/{split}/rgb/{i}.png",
+                       rng.randint(0, 255, (100, 120, 3), dtype=np.uint8))
+            _write_png(f"{root}/{split}/depth/{i}.png",
+                       rng.randint(500, 9000, (100, 120)).astype(np.uint16))
+    return root
+
+
+def test_folder_dataset_cleargrasp(folder_root):
+    from rdfc_gan_tpu.data.folder_dataset import FolderDepthDataset
+
+    ds = FolderDepthDataset(folder_root, mode="train")
+    s = ds[0]
+    assert s["rgb"].shape == (256, 256, 3)
+    # raw synthesized via ellipse dropout (no depth_raw dir)
+    assert (s["raw_depth"] == 0).sum() >= 0
+    dt = FolderDepthDataset(folder_root, mode="val")
+    assert dt[0]["gt_depth"].shape == (256, 256, 1)
