@@ -6,9 +6,10 @@ maps each net's tensors onto our flax param trees (OIHW->HWIO etc., see
 utils/torch_convert.py) and writes a framework checkpoint loadable with
 ``--load_from``.
 
-Currently mapped nets: disc_A / disc_B (PatchGAN), G_B2A (ResnetGenerator).
-G_A2B / G_normal / G_label mappings are module-structured but marked
-partial — no released checkpoints ship with the reference repo to validate
+Currently mapped nets with output-parity tests: disc_A / disc_B (PatchGAN),
+G_B2A (ResnetGenerator), resnet torsos (torchvision layout -> EncoderDecoder
+stages via utils/torch_convert.load_resnet_torso). G_A2B heads / G_normal /
+G_label full maps are marked partial — no released checkpoints ship with the reference repo to validate
 against (BASELINE.md).
 
 Usage:
@@ -60,6 +61,78 @@ def convert_patchgan(sd: dict, prefix: str = "model") -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_resnet_generator(sd: dict, n_blocks: int = 6,
+                             prefix: str = "model") -> dict:
+    """torch ResnetGenerator Sequential -> our param tree (order-based).
+
+    Reference layout (resnet_generator.py:6-100): pad,7x7conv,IN,LReLU,
+    [down conv,IN,PReLU]x2, ResnetBlock xN (pad,conv,IN,LReLU,pad,conv,IN),
+    [up convT,IN,PReLU]x2, pad,7x7conv,Tanh. InstanceNorms carry no params,
+    so the state dict is convs + PReLU alphas in sequence order.
+    Our flax names (call order): Conv_0, Conv_1, PReLU_0, Conv_2, PReLU_1,
+    ResnetBlock_{i}.{Conv_0,Conv_1}, TorchConvTranspose_{0,1} + PReLU_{2,3},
+    Conv_3.
+    """
+    from rdfc_gan_tpu.utils.torch_convert import (
+        convert_convtranspose_weight, walk_state_dict)
+
+    groups = walk_state_dict(sd)
+    # torch Sequential indices in construction order
+    idx_order = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith(prefix + ".")})
+    convs, tconvs, prelus = [], [], []
+    for i in idx_order:
+        g = groups.get(f"{prefix}.{i}", None)
+        if g is None:
+            # ResnetBlock: conv_block.1 / conv_block.5 are its convs
+            b1 = groups.get(f"{prefix}.{i}.conv_block.1")
+            b2 = groups.get(f"{prefix}.{i}.conv_block.5")
+            if b1 is not None:
+                convs.append(("block", b1, b2))
+            continue
+        w = g.get("weight")
+        if w is None:
+            continue
+        if w.ndim == 4:
+            # disambiguate conv vs convT by position: ups come after blocks;
+            # torch ConvTranspose2d weight is (Cin, Cout, kh, kw) with
+            # Cin > Cout for the upsampling layers
+            convs.append(("conv", g, None))
+        elif w.ndim == 1 and w.shape[0] == 1:
+            prelus.append(g)
+
+    params = {}
+    # stem + 2 downs are the first three plain convs; blocks follow; the two
+    # convT entries have Cin > Cout weight layout; final conv last
+    plain = [c for c in convs if c[0] == "conv"]
+    blocks = [c for c in convs if c[0] == "block"]
+
+    def conv_entry(g):
+        e = {"kernel": g["weight"].transpose(2, 3, 1, 0)}
+        if "bias" in g:
+            e["bias"] = g["bias"]
+        return e
+
+    def tconv_entry(g):
+        e = {"kernel": convert_convtranspose_weight(g["weight"]).copy()}
+        if "bias" in g:
+            e["bias"] = g["bias"]
+        return e
+
+    params["Conv_0"] = conv_entry(plain[0][1])
+    params["Conv_1"] = conv_entry(plain[1][1])
+    params["Conv_2"] = conv_entry(plain[2][1])
+    for bi, (_, b1, b2) in enumerate(blocks):
+        params[f"ResnetBlock_{bi}"] = {
+            "Conv_0": conv_entry(b1), "Conv_1": conv_entry(b2)}
+    params["TorchConvTranspose_0"] = tconv_entry(plain[3][1])
+    params["TorchConvTranspose_1"] = tconv_entry(plain[4][1])
+    params["Conv_3"] = conv_entry(plain[5][1])
+    for pi, g in enumerate(prelus):
+        params[f"PReLU_{pi}"] = {"alpha": g["weight"].reshape(())}
+    return {"params": params, "batch_stats": {}}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", required=True)
@@ -102,8 +175,13 @@ def main():
             converted[net] = tree["params"]
             new_stats[net] = tree["batch_stats"]
             print(f"converted {net} ({len(net_sd)} tensors)")
+        elif net == "G_B2A":
+            tree = convert_resnet_generator(net_sd)
+            converted[net] = tree["params"]
+            print(f"converted {net} ({len(net_sd)} tensors)")
         else:
-            print(f"SKIPPED {net}: mapping not yet implemented")
+            print(f"SKIPPED {net}: mapping not yet implemented "
+                  f"(G_A2B/G_normal/G_label land in round 2)")
 
     state = state.replace(params=converted, batch_stats=new_stats)
     save_checkpoint(state, args.out, meta=dict(converted_from=args.torch_ckpt))
