@@ -123,3 +123,35 @@ def test_loader_shapes_and_len():
     batch = next(iter(dl))
     assert batch["rgb"].shape == (4, 8, 8, 3)
     assert batch["labels"].dtype == np.int32
+
+
+def test_random_rotate_preserves_shapes():
+    from rdfc_gan_tpu.data.transforms import RandomRotate
+
+    s = _sample(30, 40)
+    out = RandomRotate(5.0)(dict(s), np.random.default_rng(0))
+    assert out["rgb"].shape == (30, 40, 3)
+    assert out["raw_depth"].shape == (30, 40, 1)
+    assert out["labels"].shape == (30, 40)
+    # labels rotated with NEAREST: value set must not grow
+    assert set(np.unique(out["labels"])) <= set(np.unique(s["labels"])) | {0}
+
+
+def test_save_vis_grid_and_labels(tmp_path):
+    from rdfc_gan_tpu.utils import save_vis
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.uniform(-1, 1, (2, 8, 10, 1)).astype(np.float32)
+            for _ in range(3)]
+    merged = save_vis.merge_images([save_vis.to_data(x) for x in imgs],
+                                   num_imgs_per_scene=3, batch_size=2)
+    assert merged.shape == (2 * 8, 3 * 10, 3)
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0)]
+    lab = save_vis.color_label(np.array([[0, 1], [2, 1]]), pal, 3)
+    assert lab.shape == (2, 2, 3)
+    assert tuple(lab[0, 1]) == (255.0, 0.0, 0.0)
+    path = str(tmp_path / "grid.jpg")
+    save_vis.save_image_grid(path, imgs, 3, 2)
+    import os
+
+    assert os.path.exists(path)
