@@ -33,7 +33,7 @@ class DataLoader:
                  drop_last: bool = True, seed: int = 0,
                  sharding: Optional[jax.sharding.Sharding] = None,
                  num_prefetch: int = 2, num_workers: int = 4,
-                 per_process: bool = False):
+                 per_process: bool = False, with_indices: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,16 +46,25 @@ class DataLoader:
         # device step (replaces torch DataLoader's worker processes)
         self.num_workers = num_workers
         self.per_process = per_process
+        # when True each batch carries a ``sample_idx`` int32 key: the global
+        # dataset index per row, or -1 for pad rows of a non-full final batch
+        # (drop_last=False) — consumers (Eval) mask/dedupe on it.
+        self.with_indices = with_indices
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __len__(self):
+    def _per_host_count(self) -> int:
         n = len(self.dataset)
         if self.per_process:
-            import jax as _jax
+            # shards are padded to equal per-host length (DistributedSampler
+            # semantics) so every host runs the same number of collective
+            # steps — unequal __len__ across hosts would deadlock SPMD.
+            n = -(-n // jax.process_count())
+        return n
 
-            n = len(range(_jax.process_index(), n, _jax.process_count()))
+    def __len__(self):
+        n = self._per_host_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -68,8 +77,14 @@ class DataLoader:
         if self.per_process:
             # multi-host: each process loads only its shard of the global
             # order (DistributedSampler analog; same seed => same global
-            # permutation on every host)
-            idx = idx[jax.process_index()::jax.process_count()]
+            # permutation on every host). Pad the global list to a multiple
+            # of process_count by repeating leading indices so every host
+            # gets the same shard length.
+            pc = jax.process_count()
+            per = -(-n // pc)
+            if per * pc > n:
+                idx = np.concatenate([idx, idx[: per * pc - n]])
+            idx = idx[jax.process_index()::pc]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -83,11 +98,23 @@ class DataLoader:
 
             def submit(i):
                 rows = idx[i * self.batch_size:(i + 1) * self.batch_size]
-                return [pool.submit(self.dataset.__getitem__, int(j))
-                        for j in rows]
+                pads = self.batch_size - len(rows)
+                if pads:  # non-full final batch (drop_last=False): repeat the
+                    # tail so sharded device_put stays divisible; pad rows
+                    # are flagged -1 in sample_idx for the consumer to drop.
+                    rows = np.concatenate([rows, np.repeat(rows[-1:], pads)])
+                futures = [pool.submit(self.dataset.__getitem__, int(j))
+                           for j in rows]
+                return futures, rows, pads
 
-            def resolve(futures):
+            def resolve(args):
+                futures, rows, pads = args
                 batch = _stack([f.result() for f in futures])
+                if self.with_indices:
+                    si = rows.astype(np.int32)
+                    if pads:
+                        si[-pads:] = -1
+                    batch["sample_idx"] = si
                 if self.sharding is not None:
                     batch = jax.device_put(batch, self.sharding)
                 return batch

@@ -19,29 +19,46 @@ from ..metrics import METRIC_NAMES, compute_depth_metrics
 
 
 class Eval:
-    def __init__(self, dataloader, depth_mean: float = 5.0,
-                 depth_std: float = 5.0, t_valid: float = 1e-4):
+    def __init__(self, dataloader, depth_mean: float = None,
+                 depth_std: float = None, t_valid: float = 1e-4):
         self.dataloader = dataloader
-        self.depth_mean = depth_mean
-        self.depth_std = depth_std
+        # un-normalization stats come from the dataset (the v1 S2D datasets
+        # use their own mean/std, not the NYUv2 (5,5) — VERDICT.md weak #6)
+        ds = getattr(dataloader, "dataset", None)
+        self.depth_mean = (depth_mean if depth_mean is not None
+                           else float(getattr(ds, "depth_mean", 5.0)))
+        self.depth_std = (depth_std if depth_std is not None
+                          else float(getattr(ds, "depth_std", 5.0)))
         self.t_valid = t_valid
         self._metric_fn = jax.jit(
             lambda gt, pd, em: compute_depth_metrics(gt, pd, em, t_valid))
 
-    def inference(self, model, state) -> np.ndarray:
-        """Returns per-image metric rows (N, 8)."""
-        rows = []
+    def inference(self, model, state):
+        """Returns (per-image metric rows (N, 8), sample indices (N,) or
+        None). Pad rows of a non-full final batch (sample_idx == -1) are
+        dropped so the split is covered exactly once (rdf_gan_metric.py:
+        135-151 per-image semantics)."""
+        rows, idxs = [], []
         for data in self.dataloader:
             ret = model.forward_test(state, rgb=data["rgb"],
                                      raw_depth=data["raw_depth"])
             pd_ = ret["pred_depth"][..., 0] * self.depth_std + self.depth_mean
             gt = data["gt_depth"][..., 0] * self.depth_std + self.depth_mean
             em = data.get("evaluate_mask")
-            rows.append(np.asarray(self._metric_fn(gt, pd_, em)))
-        return np.concatenate(rows, axis=0)
+            r = np.asarray(self._metric_fn(gt, pd_, em))
+            si = data.get("sample_idx")
+            if si is not None:
+                si = np.asarray(si)
+                keep = si >= 0
+                r, si = r[keep], si[keep]
+                idxs.append(si)
+            rows.append(r)
+        rows = np.concatenate(rows, axis=0)
+        idx = np.concatenate(idxs) if idxs else None
+        return rows, idx
 
     def evaluate(self, model, state, logger=None) -> Dict[str, float]:
-        rows = self.inference(model, state)
+        rows, idx = self.inference(model, state)
         if jax.process_count() > 1:
             # multi-host: gather per-image rows across processes — the
             # TPU-native replacement for the reference's tmpdir-pickle
@@ -50,6 +67,14 @@ class Eval:
 
             rows = np.asarray(multihost_utils.process_allgather(rows)
                               ).reshape(-1, rows.shape[-1])
+            if idx is not None:
+                idx = np.asarray(
+                    multihost_utils.process_allgather(idx)).reshape(-1)
+        if idx is not None:
+            # drop cross-host shard-padding duplicates (same index loaded by
+            # two hosts when len(dataset) % process_count != 0)
+            _, first = np.unique(idx, return_index=True)
+            rows = rows[first]
         metrics = rows.mean(axis=0)
         ret = {name: float(metrics[i]) for i, name in enumerate(METRIC_NAMES)}
         sink = logger.log if logger is not None else print

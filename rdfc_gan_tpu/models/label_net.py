@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import bilinear_resize
-from .resnet import ResNetStem, make_stages
+from .resnet import DeepStem, make_stages
 
 
 def _adaptive_avg_pool(x: jnp.ndarray, out: int) -> jnp.ndarray:
@@ -73,7 +73,8 @@ class PSPNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         input_size = (x.shape[1], x.shape[2])
-        h = ResNetStem(axis_name=self.axis_name)(x, train)
+        # deep_base stem (backbone_resnet50.py:139-154), not the 7x7 one
+        h = DeepStem(axis_name=self.axis_name)(x, train)
         l1, l2, l3, l4 = make_stages(self.backbone_depth, dilated=True,
                                      axis_name=self.axis_name)
         h = l1(h, train)

@@ -209,10 +209,12 @@ class AdaIN(nn.Module):
 
     @nn.compact
     def __call__(self, content, style, eps: float = 1e-5):
+        # calc_mean_std uses torch .var() == UNBIASED variance (ddof=1)
+        # with eps added to var before sqrt (model_utils.py:92-100)
         sm = style.mean(axis=(1, 2), keepdims=True)
-        ss = jnp.sqrt(style.var(axis=(1, 2), keepdims=True) + eps)
+        ss = jnp.sqrt(style.var(axis=(1, 2), keepdims=True, ddof=1) + eps)
         cm = content.mean(axis=(1, 2), keepdims=True)
-        cs = jnp.sqrt(content.var(axis=(1, 2), keepdims=True) + eps)
+        cs = jnp.sqrt(content.var(axis=(1, 2), keepdims=True, ddof=1) + eps)
         return (content - cm) / cs * ss + sm
 
 

@@ -116,7 +116,10 @@ class EfficientNetEncoder(nn.Module):
             if si in (0, 1, 2, 4):  # blocks 0,1,2,4 -> taps 24/40/64/176
                 taps.append(h)
         head = _round_channels(1280, self.width)  # 2048 for B5
-        h = nn.silu(bn(nn.Conv(head, (1, 1), use_bias=False)(h)))
+        # the reference decoder taps features[11] = conv_head output BEFORE
+        # bn2/act2 (encoder.py forward collects every module output; the
+        # decoder indexes 4/5/6/8/11) — so the head tap is the bare conv
+        h = nn.Conv(head, (1, 1), use_bias=False)(h)
         taps.append(h)
         return taps
 

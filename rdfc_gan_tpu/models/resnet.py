@@ -84,6 +84,10 @@ class ResNetStage(nn.Module):
     num_blocks: int
     stride: int = 1
     dilation: int = 1
+    # the reference dilated backbone gives the FIRST block of a dilation-2
+    # stage dilation 1 (backbone_resnet50.py _make_layer: `elif dilation ==
+    # 1 or dilation == 2` branch passes dilation=1 to block 0)
+    first_dilation: Optional[int] = None
     multi_grid: Optional[Sequence[int]] = None  # PSPNet layer4 multi-grid
     axis_name: Optional[str] = None
 
@@ -91,6 +95,8 @@ class ResNetStage(nn.Module):
     def __call__(self, x, train: bool = True):
         for i in range(self.num_blocks):
             d = self.dilation
+            if i == 0 and self.first_dilation is not None:
+                d = self.first_dilation
             if self.multi_grid is not None:
                 d = self.dilation * self.multi_grid[i % len(self.multi_grid)]
             x = self.block(
@@ -121,15 +127,18 @@ def make_stages(depth: int, dilated: bool = False,
     if dilated:
         strides = (1, 2, 1, 1)
         dils = (1, 1, 2, 4)
+        fd = (None, None, 1, None)  # layer3 block0 runs dilation 1
         mg = (None, None, None, (1, 2, 4))
     else:
         strides = (1, 2, 2, 2)
         dils = (1, 1, 1, 1)
+        fd = (None,) * 4
         mg = (None,) * 4
     return tuple(
         ResNetStage(block=block, planes=p, num_blocks=nb, stride=s,
-                    dilation=d, multi_grid=m, axis_name=axis_name)
-        for p, nb, s, d, m in zip(planes, blocks, strides, dils, mg)
+                    dilation=d, first_dilation=f, multi_grid=m,
+                    axis_name=axis_name)
+        for p, nb, s, d, f, m in zip(planes, blocks, strides, dils, fd, mg)
     )
 
 
@@ -146,5 +155,34 @@ class ResNetStem(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return x
+
+
+class DeepStem(nn.Module):
+    """deep_base stem of the PSPNet backbone (backbone_resnet50.py:139-154):
+    3x(3x3 conv) 3->64->64->128 (stride 2 first, BN+ReLU between, the last
+    conv bare) then BN(128) + ReLU + 3x3/2 maxpool."""
+
+    features: int = 64  # width of the two inner convs; output is 2x
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, axis_name=self.axis_name,
+                                dtype=z.dtype)(z)
+
+        f = self.features
+        x = nn.Conv(f, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    kernel_init=kaiming_init)(x)
+        x = nn.relu(bn(x))
+        x = nn.Conv(f, (3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_init)(x)
+        x = nn.relu(bn(x))
+        x = nn.Conv(2 * f, (3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_init)(x)
+        x = nn.relu(bn(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x

@@ -117,7 +117,13 @@ def _bwd(prop_time, R, preserve_input, res, g):
     feat_init, M, feat_fix = res
 
     def ref(feat_init, M, feat_fix):
-        return stencil_propagate(feat_init, M, prop_time, R,
+        # match the executed forward exactly: the Pallas kernel rounds the
+        # mask stack to bf16 (VMEM budget), so the differentiated function
+        # must see the same rounded masks (ADVICE round-1 #3). The bf16
+        # round-trip is treated as identity by AD (straight-through), which
+        # is the gradient of the function the forward actually computed.
+        M16 = M.astype(jnp.bfloat16).astype(M.dtype)
+        return stencil_propagate(feat_init, M16, prop_time, R,
                                  feat_fix=feat_fix,
                                  preserve_input=preserve_input)
 
@@ -137,7 +143,8 @@ def propagate_auto(feat_init, M, prop_time: int, R: int = 2,
     B, H, W, _ = feat_init.shape
     lo, hi = shift_window(R)
     S = hi - lo + 1
-    vmem_need = S * S * H * W * 2 + 3 * (H + 2 * 4) * (W + 2 * 4) * 4
+    pad = max(-lo, hi)
+    vmem_need = S * S * H * W * 2 + 3 * (H + 2 * pad) * (W + 2 * pad) * 4
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     ok = use_pallas == "always" or (
         use_pallas == "auto" and on_tpu and vmem_need < 12 * 1024 * 1024)

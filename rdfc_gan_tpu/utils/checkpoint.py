@@ -13,14 +13,15 @@ small pickled meta header. Orbax async checkpointing is available via
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 from flax import serialization
 
-_MAGIC = b"RDFCTPU1"
+_MAGIC = b"RDFCTPU2"
+_MAGIC_V1 = b"RDFCTPU1"
 
 
 def save_checkpoint(state, filename: str, meta: Optional[Dict] = None):
@@ -30,7 +31,9 @@ def save_checkpoint(state, filename: str, meta: Optional[Dict] = None):
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     state = jax.device_get(state)
     payload = serialization.to_bytes(state)
-    header = pickle.dumps(meta or {})
+    # meta is JSON (never pickle: unpickling an untrusted checkpoint header
+    # would execute arbitrary code — the torch.load threat class)
+    header = json.dumps(meta or {}, default=str).encode("utf-8")
     with open(filename, "wb") as f:
         f.write(_MAGIC)
         f.write(len(header).to_bytes(8, "little"))
@@ -47,9 +50,16 @@ def load_checkpoint(state_template, filename: str,
     serialization errors (strict) or best-effort merge."""
     with open(filename, "rb") as f:
         magic = f.read(len(_MAGIC))
-        assert magic == _MAGIC, f"not an rdfc_gan_tpu checkpoint: {filename}"
+        assert magic in (_MAGIC, _MAGIC_V1), \
+            f"not an rdfc_gan_tpu checkpoint: {filename}"
         hlen = int.from_bytes(f.read(8), "little")
-        meta = pickle.loads(f.read(hlen))
+        header = f.read(hlen)
+        if magic == _MAGIC_V1:
+            # round-1 files pickled the header; only the epoch/batch meta is
+            # kept there, so refuse quietly rather than unpickle
+            meta = {}
+        else:
+            meta = json.loads(header.decode("utf-8"))
         payload = f.read()
     state = serialization.from_bytes(state_template, payload)
     return state, meta
@@ -73,8 +83,8 @@ def save_checkpoint_orbax(state, directory: str, step: int,
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     ckptr.save(path, jax.device_get(state))
     if meta and jax.process_index() == 0:
-        with open(os.path.join(path, "meta.pkl"), "wb") as f:
-            pickle.dump(meta, f)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
     ckptr.wait_until_finished()
 
 
@@ -85,8 +95,8 @@ def load_checkpoint_orbax(state_template, directory: str, step: int):
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     state = ckptr.restore(path, jax.device_get(state_template))
     meta = {}
-    meta_path = os.path.join(path, "meta.pkl")
+    meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):
-        with open(meta_path, "rb") as f:
-            meta = pickle.load(f)
+        with open(meta_path) as f:
+            meta = json.load(f)
     return state, meta

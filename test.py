@@ -70,7 +70,8 @@ def main(argv=None):
     # reference test.py:66 asserts batch_size == 1; batched eval is allowed
     # here (static shapes make it free), but default mirrors the contract.
     loader = DataLoader(val_ds, cfg.batch_size, shuffle=False, drop_last=False,
-                        sharding=sh if mesh.devices.size > 1 else None)
+                        sharding=sh if mesh.devices.size > 1 else None,
+                        with_indices=True)
 
     engine = build_engine(cfg, is_train=False)
     sample = next(iter(loader))

@@ -155,3 +155,39 @@ def test_save_vis_grid_and_labels(tmp_path):
     import os
 
     assert os.path.exists(path)
+
+
+def test_loader_pad_and_indices():
+    """drop_last=False pads the final batch to full size and flags pad rows
+    with sample_idx == -1 so Eval covers the split exactly once."""
+    ds = SyntheticDataset(length=10, height=8, width=8)
+    dl = DataLoader(ds, 4, shuffle=False, drop_last=False, with_indices=True)
+    assert len(dl) == 3
+    batches = list(dl)
+    assert all(b["rgb"].shape[0] == 4 for b in batches)
+    idx = np.concatenate([b["sample_idx"] for b in batches])
+    assert (idx >= 0).sum() == 10
+    np.testing.assert_array_equal(idx[:10], np.arange(10))
+    np.testing.assert_array_equal(idx[10:], [-1, -1])
+
+
+def test_loader_per_process_shards_equal_length(monkeypatch):
+    """Shards are padded to equal per-host length (DistributedSampler
+    semantics): unequal __len__ across hosts would deadlock SPMD collectives
+    (ADVICE round-1 #1). n=7, pc=2, bs=2 must give 2 batches on BOTH hosts."""
+    import jax
+
+    ds = SyntheticDataset(length=7, height=8, width=8)
+    seen = {}
+    for rank in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        dl = DataLoader(ds, 2, shuffle=False, drop_last=True,
+                        per_process=True, with_indices=True)
+        assert len(dl) == 2
+        seen[rank] = np.concatenate(
+            [b["sample_idx"] for b in dl])
+    # union of shards covers the dataset; the pad duplicates a leading index
+    union = set(seen[0].tolist()) | set(seen[1].tolist())
+    assert union == set(range(7))
+    assert len(seen[0]) == len(seen[1]) == 4

@@ -47,8 +47,12 @@ def get_dataloaders(cfg, mesh):
     n_dev = mesh.devices.size
     train_loader = DataLoader(train_ds, cfg.batch_size * n_dev, shuffle=True,
                               drop_last=True, seed=cfg.seed, sharding=sh)
+    # drop_last=False + with_indices: best-ckpt selection must see every val
+    # image (reference per-image mean over the full split,
+    # rdf_gan_metric.py:135-151); pad rows are masked out by Eval.
     val_loader = DataLoader(val_ds, cfg.batch_size * n_dev, shuffle=False,
-                            drop_last=True, seed=cfg.seed, sharding=sh)
+                            drop_last=False, seed=cfg.seed, sharding=sh,
+                            with_indices=True)
     return train_loader, val_loader
 
 
@@ -85,9 +89,9 @@ def main(argv=None):
 
     evaluator = Eval(val_loader)
     avg = MovingAverage(window=cfg.log_interval)
-    best = float("inf")
     minimize = cfg.criterion_to_get_best_ckpt in ("RMSE", "MAE", "iRMSE",
                                                   "iMAE", "REL")
+    best = float("inf") if minimize else float("-inf")
     it = 0
     t0 = time.time()
     timer = StepTimer()
