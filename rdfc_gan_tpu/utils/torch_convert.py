@@ -178,3 +178,82 @@ def load_resnet_torso(ed_params: Dict[str, Any], ed_stats: Dict[str, Any],
         ed_params[f"en{i}"] = p
         ed_stats[f"en{i}"] = s
     return ed_params, ed_stats
+
+
+def _conv_entry(g: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    e = {"kernel": np.ascontiguousarray(g["weight"].transpose(2, 3, 1, 0))}
+    if "bias" in g:
+        e["bias"] = g["bias"]
+    return e
+
+
+def _put_bn(params: Dict, stats: Dict, name: str, g: Dict[str, np.ndarray]):
+    b = _bn(g)
+    params[name] = b["params"]
+    stats[name] = b["batch_stats"]
+
+
+def convert_nnet(sd: Dict[str, np.ndarray], width: float = 1.6,
+                 depth: float = 2.2):
+    """G_normal (NNET) torch state dict -> flax param/batch_stats trees.
+
+    Torch layout: ``encoder.original_model.*`` is the gen-efficientnet
+    tf_efficientnet_b5_ap graph (conv_stem/bn1/blocks.s.b.{conv_pw,bn1,
+    conv_dw,bn2,se.conv_reduce,se.conv_expand,conv_pwl,bn3}/conv_head;
+    normal_net/submodules/encoder.py:10-13) and ``decoder.*`` is
+    conv2/up{1-4}._net.{0,1,3,4}/conv3 (decoder.py). The encoder's bn2/act2
+    never feed the decoder (it taps features[11] = conv_head output), so
+    bn2 is intentionally dropped."""
+    from ..models.normal_net import _B0_BLOCKS, _round_repeats
+
+    groups = walk_state_dict(sd)
+    ep, es = {}, {}
+    pre = "encoder.original_model"
+    ep["Conv_0"] = _conv_entry(groups[f"{pre}.conv_stem"])
+    _put_bn(ep, es, "BatchNorm_0", groups[f"{pre}.bn1"])
+    mb = 0
+    for si, (e, _c, r, _s, _k) in enumerate(_B0_BLOCKS):
+        for bi in range(_round_repeats(r, depth)):
+            bp = f"{pre}.blocks.{si}.{bi}"
+            p, st = {}, {}
+            if e != 1:  # InvertedResidual
+                p["Conv_0"] = _conv_entry(groups[f"{bp}.conv_pw"])
+                _put_bn(p, st, "BatchNorm_0", groups[f"{bp}.bn1"])
+                p["Conv_1"] = _conv_entry(groups[f"{bp}.conv_dw"])
+                _put_bn(p, st, "BatchNorm_1", groups[f"{bp}.bn2"])
+                p["SqueezeExcite_0"] = {
+                    "Conv_0": _conv_entry(groups[f"{bp}.se.conv_reduce"]),
+                    "Conv_1": _conv_entry(groups[f"{bp}.se.conv_expand"]),
+                }
+                p["Conv_2"] = _conv_entry(groups[f"{bp}.conv_pwl"])
+                _put_bn(p, st, "BatchNorm_2", groups[f"{bp}.bn3"])
+            else:  # DepthwiseSeparable
+                p["Conv_0"] = _conv_entry(groups[f"{bp}.conv_dw"])
+                _put_bn(p, st, "BatchNorm_0", groups[f"{bp}.bn1"])
+                p["SqueezeExcite_0"] = {
+                    "Conv_0": _conv_entry(groups[f"{bp}.se.conv_reduce"]),
+                    "Conv_1": _conv_entry(groups[f"{bp}.se.conv_expand"]),
+                }
+                p["Conv_1"] = _conv_entry(groups[f"{bp}.conv_pw"])
+                _put_bn(p, st, "BatchNorm_1", groups[f"{bp}.bn2"])
+            ep[f"MBConv_{mb}"] = p
+            es[f"MBConv_{mb}"] = st
+            mb += 1
+    ep["Conv_1"] = _conv_entry(groups[f"{pre}.conv_head"])
+
+    dp, ds = {}, {}
+    dp["Conv_0"] = _conv_entry(groups["decoder.conv2"])
+    for i in range(4):
+        up, ust = {}, {}
+        for j, (ci, bi) in enumerate(((0, 1), (3, 4))):
+            up[f"Conv_{j}"] = _conv_entry(groups[f"decoder.up{i+1}._net.{ci}"])
+            _put_bn(up, ust, f"BatchNorm_{j}",
+                    groups[f"decoder.up{i+1}._net.{bi}"])
+        dp[f"UpSampleBN_{i}"] = up
+        ds[f"UpSampleBN_{i}"] = ust
+    dp["Conv_1"] = _conv_entry(groups["decoder.conv3"])
+
+    return {
+        "params": {"EfficientNetEncoder_0": ep, "NormalDecoder_0": dp},
+        "batch_stats": {"EfficientNetEncoder_0": es, "NormalDecoder_0": ds},
+    }

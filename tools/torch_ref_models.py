@@ -210,7 +210,9 @@ class TorchNNETDecoder(nn.Module):
     def __init__(self, num_classes=4, width=1.6):
         super().__init__()
         head = round_channels(1280, width)
-        taps = [round_channels(c, width) for c in (24, 40, 64, 112)]
+        # B0 stage output widths at the decoder taps (stages 0,1,2,4):
+        # scale to (24, 40, 64, 176) at B5 width 1.6
+        taps = [round_channels(c, width) for c in (16, 24, 40, 112)]
         self.conv2 = nn.Conv2d(head, head, 1)
         self.up1 = _UpSampleBN(head + taps[3], head // 2)
         self.up2 = _UpSampleBN(head // 2 + taps[2], head // 4)
