@@ -63,9 +63,14 @@ class RDFCGAN(BaseEngine):
                                  "width", 1.6),
                              depth=cfg.model.get("Normal_G", {}).get(
                                  "depth", 2.2)),
-            "G_label": PSPNet(self.num_classes,
-                              backbone_depth=cfg.model.get("Label_G", {}).get(
-                                  "backbone_depth", 50)),
+            "G_label": PSPNet(
+                self.num_classes,
+                backbone_depth=cfg.model.get("Label_G", {}).get(
+                    "backbone_depth", 50),
+                planes=tuple(cfg.model.get("Label_G", {}).get(
+                    "planes", (64, 128, 256, 512))),
+                stem_features=cfg.model.get("Label_G", {}).get(
+                    "stem_features", 64)),
         }
         self.criterion_gan = GANLoss(cfg.gan_loss_type)
         if is_train:
@@ -237,6 +242,10 @@ class RDFCGAN(BaseEngine):
                 floor_loss_A2B=fl_A, wall_loss_A2B=wl_A, ceiling_loss_A2B=cl_A,
                 floor_loss_B2A=fl_B, wall_loss_B2A=wl_B, ceiling_loss_B2A=cl_B,
             )
+            if "nlspn_max_offset" in retAB:
+                # stencil-exactness telemetry (ops/nlspn_guard.py)
+                log["nlspn_max_offset"] = jnp.maximum(
+                    retAB["nlspn_max_offset"], retBA["nlspn_max_offset"])
             return loss_G, (st, fake_B, fake_A, log)
 
         (_, (st, fake_B, fake_A, g_log)), g_grads = jax.value_and_grad(

@@ -68,14 +68,22 @@ class PSPNet(nn.Module):
     num_classes: int = 14
     use_aux: bool = True
     backbone_depth: int = 50  # 18/34 give cheap test/dryrun backbones
+    # stage widths; defaults match the reference R50 (narrow for tests)
+    planes: Sequence[int] = (64, 128, 256, 512)
+    stem_features: int = 64
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, force_aux: bool = False):
+        """``force_aux`` returns the auxiliary head in eval mode too (the
+        reference gates aux on self.training, labels_model.py:89-94; eval
+        aux is useful for converter parity and debugging)."""
         input_size = (x.shape[1], x.shape[2])
         # deep_base stem (backbone_resnet50.py:139-154), not the 7x7 one
-        h = DeepStem(axis_name=self.axis_name)(x, train)
+        h = DeepStem(features=self.stem_features,
+                     axis_name=self.axis_name)(x, train)
         l1, l2, l3, l4 = make_stages(self.backbone_depth, dilated=True,
+                                     planes=tuple(self.planes),
                                      axis_name=self.axis_name)
         h = l1(h, train)
         h = l2(h, train)
@@ -86,12 +94,12 @@ class PSPNet(nn.Module):
         out = nn.Conv(self.num_classes, (1, 1))(h)
         out = bilinear_resize(out, input_size, align_corners=True)
 
-        if train and self.use_aux:
+        if (train or force_aux) and self.use_aux:
             def bn(z):
                 return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
-            aux = nn.relu(bn(nn.Conv(512, (3, 3), padding=1,
+            aux = nn.relu(bn(nn.Conv(self.planes[3], (3, 3), padding=1,
                                      use_bias=False)(x_aux)))
             aux = nn.Dropout(0.1, deterministic=not train,
                              broadcast_dims=(1, 2))(aux)

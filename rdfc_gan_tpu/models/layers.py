@@ -51,7 +51,9 @@ class ConvBNAct(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
-    padding: Any = "SAME"
+    # None = torch-style symmetric (k-1)//2 — NOT XLA "SAME", which pads
+    # (0,1) for k3/s2 on even sizes and breaks reference geometry parity
+    padding: Any = None
     bn: bool = True
     use_in: bool = False
     relu: bool = True
@@ -61,11 +63,12 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert not (self.bn and self.use_in)
+        pad = (self.kernel - 1) // 2 if self.padding is None else self.padding
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=self.padding,
+            padding=pad,
             use_bias=not self.bn,
             kernel_init=self.kernel_init,
         )(x)

@@ -193,6 +193,215 @@ def _put_bn(params: Dict, stats: Dict, name: str, g: Dict[str, np.ndarray]):
     stats[name] = b["batch_stats"]
 
 
+def _basicblock_blocks(groups: Dict[str, Dict[str, np.ndarray]],
+                       layer_prefix: str):
+    """torchvision-layout BasicBlocks (conv1/bn1/conv2/bn2/downsample.{0,1})
+    -> our BasicBlock naming (Conv_0/1 + BatchNorm_0/1, downsample at
+    Conv_2/BatchNorm_2)."""
+    params, stats = {}, {}
+    bi = 0
+    while f"{layer_prefix}.{bi}.conv1" in groups:
+        bp = f"{layer_prefix}.{bi}"
+        p, st = {}, {}
+        for ci in range(2):
+            p[f"Conv_{ci}"] = _conv_entry(groups[f"{bp}.conv{ci + 1}"])
+            _put_bn(p, st, f"BatchNorm_{ci}", groups[f"{bp}.bn{ci + 1}"])
+        if f"{bp}.downsample.0" in groups:
+            p["Conv_2"] = _conv_entry(groups[f"{bp}.downsample.0"])
+            _put_bn(p, st, "BatchNorm_2", groups[f"{bp}.downsample.1"])
+        params[f"BasicBlock_{bi}"] = p
+        stats[f"BasicBlock_{bi}"] = st
+        bi += 1
+    return params, stats
+
+
+def _tconv_entry(g: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    e = {"kernel": convert_convtranspose_weight(g["weight"]).copy()}
+    if "bias" in g:
+        e["bias"] = g["bias"]
+    return e
+
+
+def _convbnact(groups, prefix, bn=True):
+    """conv_bn_relu Sequential -> ConvBNAct subtree ({Conv_0[,BatchNorm_0]})."""
+    p, st = {"Conv_0": _conv_entry(groups[f"{prefix}.0"])}, {}
+    if bn:
+        _put_bn(p, st, "BatchNorm_0", groups[f"{prefix}.1"])
+    return p, st
+
+
+def _encoder_decoder(groups, prefix):
+    """TorchEncoderDecoder (encoder_decoder.py:5-122) -> our EncoderDecoder
+    subtree (en2..en6 + de5..de2)."""
+    p, st = {}, {}
+    for en in ("en2", "en3", "en4", "en5"):
+        p[en], st[en] = _basicblock_blocks(groups, f"{prefix}.{en}")
+    p["en6"], en6_st = _convbnact(groups, f"{prefix}.en6")
+    st["en6"] = en6_st
+    for de in ("de5", "de4", "de3", "de2"):
+        dp = {"TorchConvTranspose_0": _tconv_entry(groups[f"{prefix}.{de}.0"])}
+        ds = {}
+        _put_bn(dp, ds, "BatchNorm_0", groups[f"{prefix}.{de}.1"])
+        p[de] = dp
+        st[de] = ds
+    return p, st
+
+
+def nlspn_offset_channel_perm(num: int) -> np.ndarray:
+    """Output-channel permutation taking the reference conv_offset_aff layout
+    to ours. Reference chunks its 3*num output into (o1, o2, aff) and
+    re-views cat(o1,o2) as (num, 2) — tap i reads channels (2i, 2i+1)
+    (nlspn_model.py:73-80). We emit [off_y(num) | off_x(num) | aff(num)]
+    (ops/nlspn.py:73-75), so our channel i := reference channel 2i (y),
+    our channel num+i := reference channel 2i+1 (x); aff passes through."""
+    return np.asarray(
+        [2 * i for i in range(num)]
+        + [2 * i + 1 for i in range(num)]
+        + list(range(2 * num, 3 * num)), np.int64)
+
+
+def convert_rdf_generator(sd: Dict[str, np.ndarray],
+                          use_nlspn_refine: bool = True,
+                          adain_weighting: bool = False):
+    """G_A2B (RDFGenerator) torch state dict -> flax param/batch_stats trees.
+
+    Handles the three non-mechanical mappings VERDICT round-1 flags:
+    EqualLinear ``weight_orig`` passes through UNscaled (both sides scale by
+    sqrt(2/fan_in) at call, model_utils.py:7-36 vs layers.EqualLinear);
+    the NLSPN offset-channel interleave (``nlspn_offset_channel_perm``);
+    fuse_layer5 exists in checkpoints but is unused by the forward
+    (rdf_generator.py:371) and is dropped."""
+    groups = walk_state_dict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(name, prefix, bn=True):
+        p, st = _convbnact(groups, prefix, bn=bn)
+        params[name] = p
+        if st:
+            stats[name] = st
+
+    put("rgb_branch_en1", "rgb_branch_en1", bn=False)
+    put("depth_branch_en1_rgb", "depth_branch_en1_rgb", bn=False)
+    put("depth_branch_en1_depth", "depth_branch_en1_depth", bn=False)
+    params["rgb_ed"], stats["rgb_ed"] = _encoder_decoder(
+        groups, "rgb_branch_encoder_decoder")
+    params["depth_ed"], stats["depth_ed"] = _encoder_decoder(
+        groups, "depth_branch_encoder_decoder")
+
+    put("rgb_pred_dec1", "rgb_pred_dec1")
+    put("rgb_pred_dec0", "rgb_pred_dec0", bn=False)
+    put("rgb_conf_dec1", "rgb_conf_dec1")
+    # rgb_conf_dec0 / cf_dec0 are plain convs in our model (sigmoid applied
+    # in forward); torch wraps them in Sequential(conv, Sigmoid)
+    params["rgb_conf_dec0"] = _conv_entry(groups["rgb_conf_dec0.0"])
+    put("id_dec1", "id_dec1")
+    put("id_dec0", "id_dec0", bn=False)
+    put("cf_dec1", "cf_dec1")
+    params["cf_dec0"] = _conv_entry(groups["cf_dec0.0"])
+
+    if use_nlspn_refine:
+        put("gd_dec1", "gd_dec1")
+        put("gd_dec0", "gd_dec0", bn=False)
+        oa = groups["nlspn_refine_module.prop_layer.conv_offset_aff"]
+        num = oa["bias"].shape[0] // 3
+        perm = nlspn_offset_channel_perm(num)
+        params["conv_offset_aff"] = {
+            "kernel": np.ascontiguousarray(
+                oa["weight"].transpose(2, 3, 1, 0)[..., perm]),
+            "bias": oa["bias"][perm],
+        }
+        params["aff_scale_const"] = np.asarray(
+            sd["nlspn_refine_module.prop_layer.aff_scale_const"]
+        ).reshape(())
+
+    for i in range(4):  # fuse_layer5 is dead weight in the reference
+        fl = f"fuse_layer{i + 1}.style.linear"
+        sub = {"EqualLinear_0": {
+            "weight": np.asarray(groups[fl]["weight_orig"]).T,
+            "bias": groups[fl]["bias"],
+        }}
+        if adain_weighting:
+            sub["Conv_0"] = _conv_entry(
+                groups[f"fuse_layer{i + 1}.gamma_weight_layer"])
+            sub["Conv_1"] = _conv_entry(
+                groups[f"fuse_layer{i + 1}.beta_weight_layer"])
+        params[f"fuse_layers_{i}"] = sub
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _bottleneck_blocks(groups: Dict[str, Dict[str, np.ndarray]],
+                       layer_prefix: str):
+    """Map torch Bottleneck blocks (conv1-3/bn1-3 + optional downsample,
+    label_net/backbone_resnet50.py:27-66) onto our Bottleneck naming
+    (Conv_0..2 + BatchNorm_0..2, downsample at Conv_3/BatchNorm_3)."""
+    params, stats = {}, {}
+    bi = 0
+    while f"{layer_prefix}.{bi}.conv1" in groups:
+        bp = f"{layer_prefix}.{bi}"
+        p, st = {}, {}
+        for ci in range(3):
+            p[f"Conv_{ci}"] = _conv_entry(groups[f"{bp}.conv{ci + 1}"])
+            _put_bn(p, st, f"BatchNorm_{ci}", groups[f"{bp}.bn{ci + 1}"])
+        if f"{bp}.downsample.0" in groups:
+            p["Conv_3"] = _conv_entry(groups[f"{bp}.downsample.0"])
+            _put_bn(p, st, "BatchNorm_3", groups[f"{bp}.downsample.1"])
+        params[f"Bottleneck_{bi}"] = p
+        stats[f"Bottleneck_{bi}"] = st
+        bi += 1
+    return params, stats
+
+
+def convert_pspnet(sd: Dict[str, np.ndarray]):
+    """G_label (PSPNet) torch state dict -> flax param/batch_stats trees.
+
+    Torch layout (labels_model.py:44-96 + backbone_resnet50.py): deep stem
+    ``initial.0.{0,3,6}`` convs + ``initial.0.{1,4}`` / ``initial.1`` BNs,
+    dilated-R50 ``layer{1-4}`` bottlenecks, PSP head
+    ``master_branch.0.stages.{i}.{1,2}`` + ``.bottleneck.{0,1}`` +
+    ``master_branch.1`` class conv, aux head ``auxiliary_branch.{0,1,4}``."""
+    groups = walk_state_dict(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    stem_p, stem_s = {}, {}
+    for i, (ci, bi) in enumerate(((0, 1), (3, 4))):
+        stem_p[f"Conv_{i}"] = _conv_entry(groups[f"initial.0.{ci}"])
+        _put_bn(stem_p, stem_s, f"BatchNorm_{i}", groups[f"initial.0.{bi}"])
+    stem_p["Conv_2"] = _conv_entry(groups["initial.0.6"])
+    _put_bn(stem_p, stem_s, "BatchNorm_2", groups["initial.1"])
+    params["DeepStem_0"] = stem_p
+    stats["DeepStem_0"] = stem_s
+
+    for li in range(4):
+        p, st = _bottleneck_blocks(groups, f"layer{li + 1}")
+        params[f"ResNetStage_{li}"] = p
+        stats[f"ResNetStage_{li}"] = st
+
+    psp_p, psp_s = {}, {}
+    nbins = 0
+    while f"master_branch.0.stages.{nbins}.1" in groups:
+        psp_p[f"Conv_{nbins}"] = _conv_entry(
+            groups[f"master_branch.0.stages.{nbins}.1"])
+        _put_bn(psp_p, psp_s, f"BatchNorm_{nbins}",
+                groups[f"master_branch.0.stages.{nbins}.2"])
+        nbins += 1
+    psp_p[f"Conv_{nbins}"] = _conv_entry(groups["master_branch.0.bottleneck.0"])
+    _put_bn(psp_p, psp_s, f"BatchNorm_{nbins}",
+            groups["master_branch.0.bottleneck.1"])
+    params["PSPModule_0"] = psp_p
+    stats["PSPModule_0"] = psp_s
+
+    params["Conv_0"] = _conv_entry(groups["master_branch.1"])
+    if "auxiliary_branch.0" in groups:
+        params["Conv_1"] = _conv_entry(groups["auxiliary_branch.0"])
+        _put_bn(params, stats, "BatchNorm_0", groups["auxiliary_branch.1"])
+        params["Conv_2"] = _conv_entry(groups["auxiliary_branch.4"])
+
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_nnet(sd: Dict[str, np.ndarray], width: float = 1.6,
                  depth: float = 2.2):
     """G_normal (NNET) torch state dict -> flax param/batch_stats trees.

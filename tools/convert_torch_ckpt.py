@@ -6,11 +6,14 @@ maps each net's tensors onto our flax param trees (OIHW->HWIO etc., see
 utils/torch_convert.py) and writes a framework checkpoint loadable with
 ``--load_from``.
 
-Currently mapped nets with output-parity tests: disc_A / disc_B (PatchGAN),
-G_B2A (ResnetGenerator), resnet torsos (torchvision layout -> EncoderDecoder
-stages via utils/torch_convert.load_resnet_torso). G_A2B heads / G_normal /
-G_label full maps are marked partial — no released checkpoints ship with the reference repo to validate
-against (BASELINE.md).
+All six reference nets are mapped, each with output-parity tests:
+disc_A / disc_B (PatchGAN), G_B2A (ResnetGenerator), G_A2B (RDFGenerator
+incl. NLSPN offset-channel permute + EqualLinear scale semantics), G_normal
+(NNET/EfficientNet-B5), G_label (PSPNet dilated-R50), plus resnet torsos
+(torchvision layout -> EncoderDecoder stages). No released checkpoints ship
+with the reference repo (BASELINE.md); converters are validated against
+synthetic reference-schema checkpoints (tools/make_synth_ref_ckpt.py,
+tools/torch_ref_models.py).
 
 Usage:
   python tools/convert_torch_ckpt.py --torch_ckpt ref.pth \
@@ -133,6 +136,47 @@ def convert_resnet_generator(sd: dict, n_blocks: int = 6,
     return {"params": params, "batch_stats": {}}
 
 
+def convert_reference_state(sd: dict, cfg, state):
+    """Map a flat reference state dict ({net}.{param} keys) onto an engine
+    GANTrainState. Returns (state, report) where report maps net key ->
+    'converted (N tensors)' or an 'UNRECOGNIZED' note."""
+    from rdfc_gan_tpu.utils.torch_convert import (
+        convert_nnet, convert_pspnet, convert_rdf_generator)
+
+    nets = sorted({k.split(".")[0] for k in sd})
+    converted = dict(state.params)
+    new_stats = dict(state.batch_stats)
+    report = {}
+    for net in nets:
+        net_sd = {k.split(".", 1)[1]: v for k, v in sd.items()
+                  if k.startswith(net + ".")}
+        if net in ("disc_A", "disc_B"):
+            tree = convert_patchgan(net_sd)
+        elif net == "G_B2A":
+            tree = convert_resnet_generator(net_sd)
+        elif net == "G_A2B":
+            g_cfg = dict(cfg.model.get("G_A2B", {}))
+            tree = convert_rdf_generator(
+                net_sd,
+                use_nlspn_refine=any(
+                    k.startswith("nlspn_refine_module.") for k in net_sd),
+                adain_weighting=bool(g_cfg.get("adain_weighting", False)))
+        elif net == "G_normal":
+            n_cfg = dict(cfg.model.get("Normal_G", {}))
+            tree = convert_nnet(net_sd, width=n_cfg.get("width", 1.6),
+                                depth=n_cfg.get("depth", 2.2))
+        elif net == "G_label":
+            tree = convert_pspnet(net_sd)
+        else:
+            report[net] = "UNRECOGNIZED: left at init"
+            continue
+        converted[net] = tree["params"]
+        if tree.get("batch_stats"):
+            new_stats[net] = tree["batch_stats"]
+        report[net] = f"converted ({len(net_sd)} tensors)"
+    return state.replace(params=converted, batch_stats=new_stats), report
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", required=True)
@@ -154,8 +198,7 @@ def main():
     cfg.merge(dict(num_classes=args.num_classes))
 
     sd = load_torch_state_dict(args.torch_ckpt)
-    nets = sorted({k.split(".")[0] for k in sd})
-    print(f"nets in torch ckpt: {nets}")
+    print(f"nets in torch ckpt: {sorted({k.split('.')[0] for k in sd})}")
 
     engine = build_engine(cfg, is_train=False)
     import jax.numpy as jnp
@@ -165,25 +208,10 @@ def main():
     batch = {k: jnp.asarray(v[None]) for k, v in ds[0].items()}
     state = engine.init_state(jax.random.PRNGKey(0), batch)
 
-    converted = dict(state.params)
-    new_stats = dict(state.batch_stats)
-    for net in nets:
-        net_sd = {k.split(".", 1)[1]: v for k, v in sd.items()
-                  if k.startswith(net + ".")}
-        if net in ("disc_A", "disc_B"):
-            tree = convert_patchgan(net_sd)
-            converted[net] = tree["params"]
-            new_stats[net] = tree["batch_stats"]
-            print(f"converted {net} ({len(net_sd)} tensors)")
-        elif net == "G_B2A":
-            tree = convert_resnet_generator(net_sd)
-            converted[net] = tree["params"]
-            print(f"converted {net} ({len(net_sd)} tensors)")
-        else:
-            print(f"SKIPPED {net}: mapping not yet implemented "
-                  f"(G_A2B/G_normal/G_label land in round 2)")
+    state, report = convert_reference_state(sd, cfg, state)
+    for net, msg in report.items():
+        print(f"{net}: {msg}")
 
-    state = state.replace(params=converted, batch_stats=new_stats)
     save_checkpoint(state, args.out, meta=dict(converted_from=args.torch_ckpt))
     print(f"wrote {args.out}")
 
