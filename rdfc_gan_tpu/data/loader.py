@@ -116,7 +116,14 @@ class DataLoader:
                         si[-pads:] = -1
                     batch["sample_idx"] = si
                 if self.sharding is not None:
-                    batch = jax.device_put(batch, self.sharding)
+                    if jax.process_count() > 1:
+                        # host-local rows -> one global sharded array
+                        # (device_put requires fully-addressable shardings)
+                        batch = jax.tree.map(
+                            lambda x: jax.make_array_from_process_local_data(
+                                self.sharding, x), batch)
+                    else:
+                        batch = jax.device_put(batch, self.sharding)
                 return batch
 
             for i in range(min(self.num_prefetch, nb)):

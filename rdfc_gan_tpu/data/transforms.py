@@ -210,3 +210,59 @@ class SparseSampler:
             out[chosen] = flat[chosen]
         sample[self.key] = out.reshape(d.shape)
         return sample
+
+
+class MultiScaleLabel:
+    """Nearest-neighbor label pyramids for pyramid supervision
+    (RDF-GAN/lib/dataset/transforms/transforms.py:330-354): adds
+    ``label_down`` = {rate: (H//rate, W//rate) labels} for the ESANet
+    side-output losses at 1/8, 1/16, 1/32."""
+
+    def __init__(self, downsampling_rates: Optional[Sequence[int]] = None,
+                 key: str = "labels"):
+        self.rates = list(downsampling_rates or (8, 16, 32))
+        self.key = key
+
+    def __call__(self, sample: Sample, rng: np.random.Generator) -> Sample:
+        label = np.asarray(sample[self.key])
+        if label.ndim == 3:
+            label = label.squeeze(-1)
+        h, w = label.shape
+        sample["label_down"] = {
+            rate: cv2.resize(label, (w // rate, h // rate),
+                             interpolation=cv2.INTER_NEAREST)
+            for rate in self.rates
+        }
+        return sample
+
+
+class TypeCheck:
+    """uint8/uint16 -> float32 cast by key
+    (RDF-GAN/lib/dataset/transforms/format.py:32-45)."""
+
+    def __init__(self, keys: Sequence[str]):
+        self.keys = list(keys)
+
+    def __call__(self, sample: Sample, rng: np.random.Generator) -> Sample:
+        for k in self.keys:
+            v = sample[k]
+            if v.dtype in (np.uint8, np.uint16):
+                sample[k] = v.astype(np.float32)
+        return sample
+
+
+class EnsureChannels:
+    """Formatter (format.py:14-29 ToTensor analog): guarantee HWC rank-3
+    arrays by key. The torch CHW permute is dropped — this framework's
+    device layout is NHWC."""
+
+    def __init__(self, keys: Sequence[str]):
+        self.keys = list(keys)
+
+    def __call__(self, sample: Sample, rng: np.random.Generator) -> Sample:
+        for k in self.keys:
+            v = np.asarray(sample[k])
+            if v.ndim < 3:
+                v = v[..., None]
+            sample[k] = v
+        return sample

@@ -54,10 +54,45 @@ def make_lr_factor_fn(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
         return fn
     if sched == "cosine":
-        total = cfg.n_epochs
+        # reference v1 passes an explicit T_max (main.py:277-284)
+        total = cfg.get("t_max", None) or cfg.n_epochs
 
         def fn(epoch):
             return 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / total))
+
+        return fn
+    if sched == "onecycle":
+        # torch OneCycleLR stepped per EPOCH with total_steps=max_epoch
+        # (main.py:259-273): cos-anneal max_lr/div_factor -> max_lr over
+        # pct_start, then max_lr -> max_lr/(div*final_div) over the rest.
+        total = cfg.n_epochs
+        div = float(cfg.get("div_factor", 25.0))
+        pct = float(cfg.get("pct_start", 0.3))
+        final_div = float(cfg.get("final_div_factor", 1e4))
+        up_end = max(float(pct * total) - 1.0, 1e-6)
+        down_len = max(float(total - 1) - up_end, 1e-6)
+        f0 = 1.0 / div
+        f_min = f0 / final_div
+
+        def fn(epoch):
+            def anneal(start, end, p):
+                return end + (start - end) * 0.5 * (1.0 + jnp.cos(jnp.pi * p))
+
+            p_up = jnp.clip(epoch / up_end, 0.0, 1.0)
+            p_down = jnp.clip((epoch - up_end) / down_len, 0.0, 1.0)
+            return jnp.where(epoch <= up_end, anneal(f0, 1.0, p_up),
+                             anneal(1.0, f_min, p_down))
+
+        return fn
+    if sched == "lambda":
+        # LambdaLR over LRFactor(decay, gamma) (helper.py:393-404): the
+        # factor is gamma[i] for the first decay[i] > epoch, else gamma[-1]
+        decay = jnp.asarray(list(cfg.lambda_lr_decay), jnp.float32)
+        gamma = jnp.asarray(list(cfg.lambda_lr_gamma), jnp.float32)
+
+        def fn(epoch):
+            idx = jnp.searchsorted(decay, epoch, side="right")
+            return gamma[jnp.minimum(idx, gamma.shape[0] - 1)]
 
         return fn
     raise NotImplementedError(sched)

@@ -27,6 +27,17 @@ from ..registry import MODELS, build_discriminator, build_generator
 from .base import BaseEngine, GANTrainState, make_optimizer
 
 
+def _as_ret_dict(ret):
+    """Normalize a generator output to the dict contract. The v1 vanilla
+    generator returns the reference 5-tuple (rdf_gan_generator_vanilla.py
+    :294-374); the dict keys are the engine's interface."""
+    if isinstance(ret, (tuple, list)):
+        d1, c1, d2, c2, f = ret
+        return dict(depth_map_1=d1, confidence_map_1=c1, depth_map_2=d2,
+                    confidence_map_2=c2, pred_depth=f)
+    return ret
+
+
 class RDFGAN(BaseEngine):
     def __init__(self, cfg, is_train: bool = True, steps_per_epoch: int = 1):
         super().__init__(cfg, is_train, steps_per_epoch)
@@ -97,11 +108,15 @@ class RDFGAN(BaseEngine):
         # --- forward G once (shared by both passes)
         ret, g_stats = self._apply(G, state.params["G"], state.batch_stats["G"],
                                    real_A, corrupted_B, train=True)
+        ret = _as_ret_dict(ret)
         fake_rgb_branch = ret["depth_map_1"]
         fake_depth_branch = ret["depth_map_2"]
         final_depth = ret["pred_depth"]
 
         stats = {}
+        if "nlspn_max_offset" in ret:
+            # stencil-exactness telemetry (ops/nlspn_guard.py)
+            stats["nlspn_max_offset"] = ret["nlspn_max_offset"]
 
         # --- D update first (rdf_gan.py:192-196)
         def d_loss_fn(d_params):
@@ -139,6 +154,7 @@ class RDFGAN(BaseEngine):
         def g_loss_fn(g_params):
             ret, gs = self._apply(G, g_params, state.batch_stats["G"],
                                   real_A, corrupted_B, train=True)
+            ret = _as_ret_dict(ret)
             pred_fake, ds2 = self._apply(D, d_params, d_stats,
                                          ret["depth_map_1"], train=True)
             loss_gan = self.criterion_gan(pred_fake, True)
@@ -180,7 +196,7 @@ class RDFGAN(BaseEngine):
     def _forward_test_impl(self, params, batch_stats, rgb, raw_depth):
         ret, _ = self._apply(self.modules["G"], params["G"], batch_stats["G"],
                              rgb, raw_depth, train=False)
-        return ret
+        return _as_ret_dict(ret)
 
     def forward_test(self, state: GANTrainState, **kwargs):
         return self._forward_test(state.params, state.batch_stats,

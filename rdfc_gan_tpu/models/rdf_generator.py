@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.nlspn import NLSPNParamsSpec, nlspn_offset_affinity, nlspn_propagate
@@ -194,12 +195,19 @@ class RDFGenerator(nn.Module):
         confidence = nn.sigmoid(self.cf_dec0(
             self.depth_skip_op(self.cf_dec1(d_fd, train), d_fe1)))
 
+        nlspn_max_offset = None
         if self.use_nlspn_refine:
             guide = self.gd_dec0(
                 self.depth_skip_op(self.gd_dec1(d_fd, train), d_fe1), train)
             raw = self.conv_offset_aff(guide)
             offsets, aff = nlspn_offset_affinity(
                 raw, confidence, self.aff_scale_const, self.nlspn_spec)
+            # telemetry: the stencil path is exact only while |offset| <=
+            # nlspn_offset_radius — expose the batch max so engines can log
+            # it and eval drivers can escalate R / fall back to gather
+            # (ops/nlspn_guard.py)
+            nlspn_max_offset = jax.lax.stop_gradient(
+                jnp.max(jnp.abs(offsets)).astype(jnp.float32))
             if self.nlspn_impl == "gather":
                 depth_map_2 = nlspn_propagate(
                     pred_init, offsets, aff, self.nlspn_spec,
@@ -230,13 +238,16 @@ class RDFGenerator(nn.Module):
             depths.astype(jnp.float32) * score, axis=-1, keepdims=True
         ).astype(depth_map_1.dtype)
 
-        return dict(
+        ret = dict(
             depth_map_1=depth_map_1,
             confidence_map_1=confidence_map_1,
             depth_map_2=depth_map_2,
             confidence_map_2=confidence_map_2,
             pred_depth=pred_depth,
         )
+        if nlspn_max_offset is not None:
+            ret["nlspn_max_offset"] = nlspn_max_offset
+        return ret
 
 
 GENERATORS.register("RDFGenerator")(RDFGenerator)

@@ -80,6 +80,20 @@ def main(argv=None):
     if cfg.load_from:
         state, meta = load_checkpoint(state, cfg.load_from)
         logger.log(f"loaded {cfg.load_from} (epoch {meta.get('epoch')})")
+        # stencil-exactness guard: trained/converted offsets may exceed the
+        # clamp radius — escalate R or fall back to gather (VERDICT #6)
+        from rdfc_gan_tpu.ops.nlspn_guard import (escalate_nlspn_cfg,
+                                                  probe_max_offset)
+
+        max_off = probe_max_offset(engine, state, sample)
+        g_cfg, changed = escalate_nlspn_cfg(
+            dict(cfg.model.G_A2B.to_dict()), max_off)
+        if changed:
+            logger.log(f"NLSPN max|offset|={max_off:.2f}: rebuilding G_A2B "
+                       f"with {g_cfg.get('nlspn_impl', 'auto')!r} impl, "
+                       f"R={g_cfg.get('nlspn_offset_radius')}")
+            cfg.model.G_A2B.merge(g_cfg)
+            engine = build_engine(cfg, is_train=False)
 
     if cfg.cal_fps:
         cal_fps(engine, state, loader, logger=logger)

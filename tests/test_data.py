@@ -191,3 +191,34 @@ def test_loader_per_process_shards_equal_length(monkeypatch):
     union = set(seen[0].tolist()) | set(seen[1].tolist())
     assert union == set(range(7))
     assert len(seen[0]) == len(seen[1]) == 4
+
+
+def test_multiscale_label_and_formatters():
+    """MultiScaleLabel pyramids + TypeCheck/EnsureChannels formatters
+    (RDF-GAN/lib/dataset/transforms/ parity)."""
+    import numpy as np
+
+    from rdfc_gan_tpu.data.transforms import (EnsureChannels, MultiScaleLabel,
+                                              TypeCheck)
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 14, size=(64, 96)).astype(np.uint8)
+    sample = {"labels": labels, "rgb": rng.integers(
+        0, 255, size=(64, 96, 3)).astype(np.uint16)}
+
+    sample = TypeCheck(["labels", "rgb"])(sample, rng)
+    assert sample["labels"].dtype == np.float32
+    assert sample["rgb"].dtype == np.float32
+
+    sample = MultiScaleLabel()(sample, rng)
+    assert set(sample["label_down"]) == {8, 16, 32}
+    for rate, ld in sample["label_down"].items():
+        assert ld.shape == (64 // rate, 96 // rate)
+        # nearest-neighbor: every downsampled value exists in the source
+        assert np.isin(ld, labels).all()
+    # rate 32 oracle: cv2 INTER_NEAREST picks source pixel floor(i*scale)
+    want = sample["labels"][::32, ::32][:2, :3]
+    np.testing.assert_array_equal(sample["label_down"][32], want)
+
+    sample = EnsureChannels(["labels"])(sample, rng)
+    assert sample["labels"].shape == (64, 96, 1)

@@ -41,3 +41,50 @@ def test_step_and_cosine_schedules():
     np.testing.assert_allclose(float(g(jnp.asarray(0.0))), 1.0)
     np.testing.assert_allclose(float(g(jnp.asarray(50.0))), 0.5, atol=1e-6)
     np.testing.assert_allclose(float(g(jnp.asarray(100.0))), 0.0, atol=1e-6)
+
+
+def test_onecycle_matches_torch_oracle():
+    """OneCycleLR stepped per epoch with total_steps=max_epoch
+    (RDF-GAN/lib/tools/main.py:259-273)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    total, max_lr, div, pct = 20, 1e-2, 25.0, 0.3
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(m.parameters(), lr=max_lr)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, total_steps=total, div_factor=div,
+        pct_start=pct, anneal_strategy="cos", final_div_factor=1e4)
+    want = []
+    for _ in range(total):
+        want.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+
+    cfg = default_config()
+    cfg.merge(dict(scheduler="onecycle", n_epochs=total, div_factor=div,
+                   pct_start=pct, final_div_factor=1e4, lr=max_lr))
+    f = make_lr_factor_fn(cfg)
+    got = [max_lr * float(f(jnp.asarray(float(e)))) for e in range(total)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+
+
+def test_lambda_schedule_matches_lrfactor():
+    """LambdaLR over LRFactor(decay, gamma) (helper.py:393-404)."""
+    decay, gamma = [3, 6, 9], [1.0, 0.4, 0.05]
+
+    def ref_factor(epoch):  # the reference loop, verbatim semantics
+        for d, g in zip(decay, gamma):
+            if epoch < d:
+                return g
+        return gamma[-1]
+
+    cfg = default_config()
+    cfg.merge(dict(scheduler="lambda", lambda_lr_decay=decay,
+                   lambda_lr_gamma=gamma))
+    f = make_lr_factor_fn(cfg)
+    for e in range(12):
+        np.testing.assert_allclose(float(f(jnp.asarray(float(e)))),
+                                   ref_factor(e), rtol=1e-6,
+                                   err_msg=f"epoch {e}")

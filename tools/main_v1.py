@@ -32,14 +32,26 @@ def build_parser():
     add("--dataset", default="nyuv2_s2d",
         choices=["nyuv2_s2d", "nyuv2", "sunrgbd", "ddrnet_human", "synthetic"])
     add("--data_root", default=None)
+    add("--height", type=int, default=None)
+    add("--width", type=int, default=None)
+    add("--num_classes", type=int, default=40)
     add("--batch_size", type=int, default=4)
     add("--lr", type=float, default=2e-3)
     add("--beta1", type=float, default=0.5)
     add("--beta2", type=float, default=0.999)
     add("--n_epochs", type=int, default=150)
     add("--optimizer", default="Adam")
-    add("--scheduler", default="linear")
+    add("--scheduler", default="linear",
+        choices=["linear", "step", "cosine", "onecycle", "lambda"])
     add("--decay_epoch", type=int, default=100)
+    # scheduler zoo knobs (RDF-GAN/lib/tools/main.py:251-294)
+    add("--lr_decay_epochs", type=int, nargs="+", default=[60, 90, 120])
+    add("--lr_decay_rate", type=float, default=0.1)
+    add("--div_factor", type=float, default=25.0)
+    add("--pct_start", type=float, default=0.3)
+    add("--t_max", type=int, default=None)
+    add("--lambda_lr_decay", type=int, nargs="+", default=[30, 60, 90])
+    add("--lambda_lr_gamma", type=float, nargs="+", default=[1.0, 0.5, 0.1])
     add("--gan_loss_type", default="lsgan",
         choices=["lsgan", "vanilla", "wgan", "wgangp"])
     add("--n_critic", type=int, default=1)
@@ -68,6 +80,13 @@ def build_parser():
     add("--seed", type=int, default=0)
     add("--inference", action="store_true")
     add("--cal_fps", action="store_true")
+    # --model vanilla drives the *_vanilla generator build (the reference's
+    # missing main_vanilla.py driver contract, bash/test_nyuv2_Rs2T.sh:4)
+    add("--model", default="guided", choices=["guided", "vanilla"])
+    add("--upsampling_mode", default="bilinear")
+    add("--nr_decoder_blocks", type=int, nargs="+", default=[1, 1, 1, 0, 0])
+    add("--fuse_depth_in_rgb_decoder", default="AdaIN")
+    add("--adain_weighting", action="store_true", default=False)
     return p
 
 
@@ -76,23 +95,35 @@ def make_cfg(args):
 
     cfg = default_config()
     cfg.merge(vars(args))
+    if args.model == "vanilla":
+        g_cfg = {
+            "type": "DCVGANGeneratorVanilla",
+            "use_guidance": args.use_guidance,
+            "guidance_classes": args.guidance_classes,
+            "nr_decoder_blocks": list(args.nr_decoder_blocks),
+            "fuse_depth_in_rgb_decoder": args.fuse_depth_in_rgb_decoder,
+            "upsampling_mode": args.upsampling_mode,
+            "adain_weighting": args.adain_weighting,
+        }
+    else:
+        g_cfg = {
+            "type": "DCVGANGenerator",
+            "use_guidance": args.use_guidance,
+            "guidance_classes": args.guidance_classes,
+            "use_nlspn_refine": True,
+            "nlspn_configs": {
+                "prop_kernel": args.prop_kernel,
+                "prop_time": args.prop_time,
+                "affinity": args.affinity,
+                "affinity_gamma": args.affinity_gamma,
+                "conf_prop": args.conf_prop,
+                "preserve_input": args.preserve_input,
+            },
+        }
     cfg.merge({
         "model": {
             "type": "RDFGAN",
-            "G": {
-                "type": "DCVGANGenerator",
-                "use_guidance": args.use_guidance,
-                "guidance_classes": args.guidance_classes,
-                "use_nlspn_refine": True,
-                "nlspn_configs": {
-                    "prop_kernel": args.prop_kernel,
-                    "prop_time": args.prop_time,
-                    "affinity": args.affinity,
-                    "affinity_gamma": args.affinity_gamma,
-                    "conf_prop": args.conf_prop,
-                    "preserve_input": args.preserve_input,
-                },
-            },
+            "G": g_cfg,
             "D": {"type": "PatchGANDiscriminator", "in_channels": 1,
                   "activation": "LeakyReLU"},
         }
@@ -118,6 +149,9 @@ def main(argv=None):
     ds_kwargs = dict(seed=cfg.seed)
     if cfg.data_root:
         ds_kwargs["data_root"] = cfg.data_root
+    if cfg.dataset == "synthetic":
+        ds_kwargs.update(height=args.height or 32, width=args.width or 32,
+                         num_classes=args.num_classes)
     train_ds = build_dataset(dict(type=cfg.dataset, mode="train", **ds_kwargs))
     val_ds = build_dataset(dict(type=cfg.dataset, mode="val", **ds_kwargs))
     train_loader = DataLoader(train_ds, cfg.batch_size, seed=cfg.seed)

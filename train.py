@@ -44,15 +44,21 @@ def get_dataloaders(cfg, mesh):
     train_ds = build_dataset(dict(type=cfg.dataset, mode="train", **ds_kwargs))
     val_ds = build_dataset(dict(type=cfg.dataset, mode="val", **ds_kwargs))
     sh = data_sharding(mesh)
-    n_dev = mesh.devices.size
-    train_loader = DataLoader(train_ds, cfg.batch_size * n_dev, shuffle=True,
-                              drop_last=True, seed=cfg.seed, sharding=sh)
+    # per-host batch: each process loads its slice of the global batch
+    # (DistributedSampler analog — helper.py:217-230); single-process runs
+    # load the full mesh batch.
+    multi = jax.process_count() > 1
+    n_local = mesh.devices.size // jax.process_count() if multi \
+        else mesh.devices.size
+    train_loader = DataLoader(train_ds, cfg.batch_size * n_local,
+                              shuffle=True, drop_last=True, seed=cfg.seed,
+                              sharding=sh, per_process=multi)
     # drop_last=False + with_indices: best-ckpt selection must see every val
     # image (reference per-image mean over the full split,
     # rdf_gan_metric.py:135-151); pad rows are masked out by Eval.
-    val_loader = DataLoader(val_ds, cfg.batch_size * n_dev, shuffle=False,
+    val_loader = DataLoader(val_ds, cfg.batch_size * n_local, shuffle=False,
                             drop_last=False, seed=cfg.seed, sharding=sh,
-                            with_indices=True)
+                            with_indices=True, per_process=multi)
     return train_loader, val_loader
 
 
@@ -111,6 +117,13 @@ def main(argv=None):
             avg.update({k: float(v) for k, v in stats.items()})
             if it % cfg.log_interval == 0:
                 m = avg.mean()
+                r = cfg.model.get("G_A2B", {}).get("nlspn_offset_radius", 2)
+                if m.get("nlspn_max_offset", 0.0) > r:
+                    logger.log(
+                        f"WARNING: NLSPN max|offset| {m['nlspn_max_offset']:.2f}"
+                        f" exceeds stencil radius {r} — training gradients are"
+                        f" clamped; raise nlspn_offset_radius or set"
+                        f" nlspn_impl: gather (ops/nlspn_guard.py)")
                 ips = cfg.log_interval * batch["rgb"].shape[0] / (
                     time.time() - t0)
                 t0 = time.time()
