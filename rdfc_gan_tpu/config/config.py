@@ -190,5 +190,11 @@ def default_config() -> Config:
             compute_dtype="bfloat16",
             use_pallas="auto",  # auto | never | always
             donate=True,
+            # remat: True (all nets) | False | 'selective' (remat_nets only).
+            # Selective is the measured sweet spot on v5e: recompute only the
+            # big aux torsos, keep generator/disc activations live —
+            # 336 vs 411 ms/step at bs8 224x304 (docs/PERF_NOTES.md r2)
+            remat="selective",
+            remat_nets=["G_normal", "G_label"],
         )
     )

@@ -162,7 +162,7 @@ class RDFCGAN(BaseEngine):
             st = dict(state.batch_stats)
             rngs = {"dropout": rng_drop}
 
-            # --- A -> B path
+            # --- A -> B path (reference-exact pass structure)
             lbl_realA, st["G_label"] = self._apply(
                 mods["G_label"], gp["G_label"], st["G_label"], real_A,
                 train=True, rngs=rngs, name="G_label")
@@ -174,14 +174,30 @@ class RDFCGAN(BaseEngine):
                 mods["G_A2B"], gp["G_A2B"], st["G_A2B"], real_A, aux_A,
                 nrm_realA, train=True, name="G_A2B")
             fake_B = add_pepper_noise(retAB["pred_depth"], rng_pepper)
-            rec_A, st["G_B2A"] = self._apply(
-                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], fake_B, train=True,
-                name="G_B2A")
+
+            # G_B2A consumes fake_B (-> rec_A) and real_B (-> fake_A).
+            # The ResnetGenerator is InstanceNorm-only (per-image
+            # statistics, no cross-batch coupling), so the two
+            # applications are EXACTLY one batched application. Falls
+            # back to two calls if the net ever carries batch stats.
+            # (Batching the BN-carrying nets across the two cycle passes
+            # was measured too: zero gain — the step is compute-bound,
+            # not launch-bound; docs/PERF_NOTES.md round-2.)
+            if not st["G_B2A"]:
+                b2a_out, st["G_B2A"] = self._apply(
+                    mods["G_B2A"], gp["G_B2A"], st["G_B2A"],
+                    jnp.concatenate([fake_B, real_B], axis=0),
+                    train=True, name="G_B2A")
+                rec_A, fake_A = jnp.split(b2a_out, 2, axis=0)
+            else:
+                rec_A, st["G_B2A"] = self._apply(
+                    mods["G_B2A"], gp["G_B2A"], st["G_B2A"], fake_B,
+                    train=True, name="G_B2A")
+                fake_A, st["G_B2A"] = self._apply(
+                    mods["G_B2A"], gp["G_B2A"], st["G_B2A"], real_B,
+                    train=True, name="G_B2A")
 
             # --- B -> A path
-            fake_A, st["G_B2A"] = self._apply(
-                mods["G_B2A"], gp["G_B2A"], st["G_B2A"], real_B, train=True,
-                name="G_B2A")
             lbl_fakeA, st["G_label"] = self._apply(
                 mods["G_label"], gp["G_label"], st["G_label"], fake_A,
                 train=True, rngs=rngs, name="G_label")

@@ -22,6 +22,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 # pix2pix-style init used by the reference engines (init_weights.py:5-44)
 gan_kernel_init = nn.initializers.normal(stddev=0.02)
@@ -151,6 +152,56 @@ class ConvTBNAct(nn.Module):
         if self.relu:
             x = leaky_relu02(x)
         return x
+
+
+class BlockFusedConv(nn.Module):
+    """Several independent conv heads executed as ONE convolution.
+
+    Each head reads a subset of the input tensors (``head_inputs[i]`` =
+    indices into the ``inputs`` list) and produces ``head_out[i]`` channels.
+    The fused kernel is assembled from per-head parameter blocks with
+    structural ZEROS for unread inputs — zeros are trace-time constants, so
+    no cross-head weights exist and gradients flow only to the real blocks.
+    Mathematically identical to running the heads as separate convs over
+    channel-concatenated inputs; on TPU it replaces several low-lane-count
+    full-resolution convolutions with one wider MXU launch
+    (docs/PERF_NOTES.md round-2).
+    """
+
+    head_out: Tuple[int, ...]
+    head_inputs: Tuple[Tuple[int, ...], ...]
+    kernel: int = 3
+    kernel_init: Callable = gan_kernel_init
+
+    @nn.compact
+    def __call__(self, inputs) -> Tuple[jnp.ndarray, ...]:
+        k = self.kernel
+        chans = [x.shape[-1] for x in inputs]
+        cols = []
+        biases = []
+        for i, (out, reads) in enumerate(zip(self.head_out,
+                                             self.head_inputs)):
+            rows = []
+            for j, cj in enumerate(chans):
+                if j in reads:
+                    rows.append(self.param(f"kernel_{i}_{j}",
+                                           self.kernel_init, (k, k, cj, out)))
+                else:
+                    rows.append(jnp.zeros((k, k, cj, out), jnp.float32))
+            cols.append(jnp.concatenate(rows, axis=2))
+            biases.append(self.param(f"bias_{i}", nn.initializers.zeros,
+                                     (out,)))
+        w = jnp.concatenate(cols, axis=3)
+        b = jnp.concatenate(biases)
+        x = jnp.concatenate(inputs, axis=-1)
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1),
+            padding=((k // 2, k // 2),) * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out + b.astype(x.dtype)
+        splits = np.cumsum(self.head_out)[:-1] if len(self.head_out) > 1 \
+            else []
+        return tuple(jnp.split(out, list(splits), axis=-1))
 
 
 class EqualLinear(nn.Module):

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..ops.nlspn import NLSPNParamsSpec, nlspn_offset_affinity, nlspn_propagate
 from ..registry import GENERATORS
 from .encoder_decoder import EncoderDecoder, add_skip, concat_skip
-from .layers import AdaIN, AdaptiveInstanceNorm, ConvBNAct, INFuse, gan_kernel_init
+from .layers import (AdaIN, AdaptiveInstanceNorm, BlockFusedConv, ConvBNAct,
+                     INFuse, gan_kernel_init, leaky_relu02)
 
 
 class RDFGenerator(nn.Module):
@@ -64,32 +65,19 @@ class RDFGenerator(nn.Module):
         rce, dce = self.rgb_channels_encoder, self.depth_channels_encoder
         rcd, dcd = self.rgb_channels_decoder, self.depth_channels_decoder
 
-        self.rgb_branch_en1 = ConvBNAct(rce[0], bn=False)
+        # stems: 3 independent full-res convs (rgb 64ch + depth-branch 48ch
+        # over the semantic input, 16ch over depth) run as ONE BlockFusedConv
+        # launch — exact, see layers.BlockFusedConv
+        self.stem_fused = BlockFusedConv(
+            head_out=(rce[0], 48, 16), head_inputs=((0,), (0,), (1,)))
         self.rgb_ed = EncoderDecoder(
             encoder_type=self.encoder_rgb, skip_type=self.rgb_skip_connection_type,
             encoder_channels=rce[1:], decoder_channels=rcd,
             axis_name=self.axis_name)
-
-        self.depth_branch_en1_rgb = ConvBNAct(48, bn=False)
-        self.depth_branch_en1_depth = ConvBNAct(16, bn=False)
         self.depth_ed = EncoderDecoder(
             encoder_type=self.encoder_depth, skip_type=self.depth_skip_connection_type,
             encoder_channels=dce[1:], decoder_channels=dcd,
             axis_name=self.axis_name)
-
-        # rgb-branch heads
-        self.rgb_pred_dec1 = ConvBNAct(64, axis_name=self.axis_name)
-        self.rgb_pred_dec0 = ConvBNAct(1, bn=False, relu=False)
-        self.rgb_conf_dec1 = ConvBNAct(32, axis_name=self.axis_name)
-        self.rgb_conf_dec0 = nn.Conv(1, (3, 3), padding=1,
-                                     kernel_init=gan_kernel_init)
-
-        # depth-branch heads
-        self.id_dec1 = ConvBNAct(64, axis_name=self.axis_name)
-        self.id_dec0 = ConvBNAct(1, bn=False, relu=False)
-        self.cf_dec1 = ConvBNAct(32, axis_name=self.axis_name)
-        self.cf_dec0 = nn.Conv(1, (3, 3), padding=1,
-                               kernel_init=gan_kernel_init)
 
         if self.use_nlspn_refine:
             cfgs = dict(self.nlspn_configs or {})
@@ -102,8 +90,6 @@ class RDFGenerator(nn.Module):
                 preserve_input=cfgs.get("preserve_input", False),
             )
             num = self.nlspn_spec.num_neighbors
-            self.gd_dec1 = ConvBNAct(64, axis_name=self.axis_name)
-            self.gd_dec0 = ConvBNAct(num, bn=False, relu=False)
             # offset/affinity conv, zero-init (nlspn_model.py:36-38)
             self.conv_offset_aff = nn.Conv(
                 3 * num, (3, 3), padding=1,
@@ -118,6 +104,25 @@ class RDFGenerator(nn.Module):
             else:
                 self.aff_scale_const = jnp.asarray(
                     float(num) if self.nlspn_spec.affinity == "TC" else 1.0)
+        else:
+            num = 0
+
+        # dec1 heads: per-branch fused conv+BN+lrelu — per-channel BN over
+        # the concatenated outputs == separate per-head BNs, exact
+        # (rgb: pred 64 | conf 32; depth: id 64 | [gd 64] | cf 32)
+        self.rgb_dec1 = ConvBNAct(64 + 32, axis_name=self.axis_name)
+        self.depth_dec1 = ConvBNAct(64 + (64 if num else 0) + 32,
+                                    axis_name=self.axis_name)
+        # dec0 heads: shared fe1 skip per branch, block-fused
+        self.rgb_dec0 = BlockFusedConv(
+            head_out=(1, 1), head_inputs=((0, 2), (1, 2)))
+        if num:
+            self.depth_dec0 = BlockFusedConv(
+                head_out=(1, num, 1),
+                head_inputs=((0, 3), (1, 3), (2, 3)))
+        else:
+            self.depth_dec0 = BlockFusedConv(
+                head_out=(1, 1), head_inputs=((0, 2), (1, 2)))
 
         # 'add' skips use identity projections: the shipped configs are all
         # 'concat' (rdf_cycle_patchgan_config.yaml:11-12), and the reference's
@@ -159,11 +164,11 @@ class RDFGenerator(nn.Module):
         if normal is None:
             normal = rgb
 
-        # encoder stage 1 [1/1]
-        rgb_fe1 = self.rgb_branch_en1(normal, train)
-        d_fe1 = jnp.concatenate(
-            [self.depth_branch_en1_rgb(normal, train),
-             self.depth_branch_en1_depth(depth, train)], axis=-1)
+        # encoder stage 1 [1/1]: one fused stem launch, then LeakyReLU
+        # (conv_bn_relu(bn=False), common.py:29-43)
+        s_rgb, s_d48, s_d16 = self.stem_fused((normal, depth))
+        rgb_fe1 = leaky_relu02(s_rgb)
+        d_fe1 = leaky_relu02(jnp.concatenate([s_d48, s_d16], axis=-1))
 
         # encoder stages 2..6
         rgb_fe = [rgb_fe1]
@@ -183,22 +188,31 @@ class RDFGenerator(nn.Module):
             d_fd = self.depth_ed.decode(d_fd, dec_idx, train)
             d_fd = self.depth_skip_op(d_fd, d_fe[dec_idx - 1])
 
-        # rgb branch heads
-        depth_map_1 = jnp.tanh(self.rgb_pred_dec0(
-            self.skip_op(self.rgb_pred_dec1(rgb_fd, train), rgb_fe1), train))
-        confidence_map_1 = nn.sigmoid(self.rgb_conf_dec0(
-            self.skip_op(self.rgb_conf_dec1(rgb_fd, train), rgb_fe1)))
+        # rgb branch heads (fused dec1 conv, then per-head dec0 block conv).
+        # The decoder output can overhang fe1 by padding; the reference
+        # convs the UNTRIMMED feature and trims at the concat
+        # (rdf_generator.py:374-379 + _concat) — same order here.
+        rgb_h = self.rgb_dec1(rgb_fd, train)
+        rgb_h = rgb_h[:, : rgb_fe1.shape[1], : rgb_fe1.shape[2], :]
+        rgb_pred_fd1, rgb_conf_fd1 = jnp.split(rgb_h, [64], axis=-1)
+        pred0, conf0 = self.rgb_dec0((rgb_pred_fd1, rgb_conf_fd1, rgb_fe1))
+        depth_map_1 = jnp.tanh(pred0)
+        confidence_map_1 = nn.sigmoid(conf0)
 
         # depth branch heads
-        pred_init = jnp.tanh(self.id_dec0(
-            self.depth_skip_op(self.id_dec1(d_fd, train), d_fe1), train))
-        confidence = nn.sigmoid(self.cf_dec0(
-            self.depth_skip_op(self.cf_dec1(d_fd, train), d_fe1)))
-
+        d_h = self.depth_dec1(d_fd, train)
+        d_h = d_h[:, : d_fe1.shape[1], : d_fe1.shape[2], :]
         nlspn_max_offset = None
         if self.use_nlspn_refine:
-            guide = self.gd_dec0(
-                self.depth_skip_op(self.gd_dec1(d_fd, train), d_fe1), train)
+            id_fd1, gd_fd1, cf_fd1 = jnp.split(d_h, [64, 128], axis=-1)
+            idp, guide, cfp = self.depth_dec0((id_fd1, gd_fd1, cf_fd1, d_fe1))
+        else:
+            id_fd1, cf_fd1 = jnp.split(d_h, [64], axis=-1)
+            idp, cfp = self.depth_dec0((id_fd1, cf_fd1, d_fe1))
+        pred_init = jnp.tanh(idp)
+        confidence = nn.sigmoid(cfp)
+
+        if self.use_nlspn_refine:
             raw = self.conv_offset_aff(guide)
             offsets, aff = nlspn_offset_affinity(
                 raw, confidence, self.aff_scale_const, self.nlspn_spec)

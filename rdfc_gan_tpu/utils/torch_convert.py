@@ -275,34 +275,67 @@ def convert_rdf_generator(sd: Dict[str, np.ndarray],
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
-    def put(name, prefix, bn=True):
-        p, st = _convbnact(groups, prefix, bn=bn)
-        params[name] = p
-        if st:
-            stats[name] = st
+    def hwio(prefix):
+        return groups[prefix]["weight"].transpose(2, 3, 1, 0)
 
-    put("rgb_branch_en1", "rgb_branch_en1", bn=False)
-    put("depth_branch_en1_rgb", "depth_branch_en1_rgb", bn=False)
-    put("depth_branch_en1_depth", "depth_branch_en1_depth", bn=False)
+    # fused stem (layers.BlockFusedConv): rgb 64ch + depth-branch 48/16ch
+    params["stem_fused"] = {
+        "kernel_0_0": np.ascontiguousarray(hwio("rgb_branch_en1.0")),
+        "bias_0": groups["rgb_branch_en1.0"]["bias"],
+        "kernel_1_0": np.ascontiguousarray(hwio("depth_branch_en1_rgb.0")),
+        "bias_1": groups["depth_branch_en1_rgb.0"]["bias"],
+        "kernel_2_1": np.ascontiguousarray(hwio("depth_branch_en1_depth.0")),
+        "bias_2": groups["depth_branch_en1_depth.0"]["bias"],
+    }
     params["rgb_ed"], stats["rgb_ed"] = _encoder_decoder(
         groups, "rgb_branch_encoder_decoder")
     params["depth_ed"], stats["depth_ed"] = _encoder_decoder(
         groups, "depth_branch_encoder_decoder")
 
-    put("rgb_pred_dec1", "rgb_pred_dec1")
-    put("rgb_pred_dec0", "rgb_pred_dec0", bn=False)
-    put("rgb_conf_dec1", "rgb_conf_dec1")
-    # rgb_conf_dec0 / cf_dec0 are plain convs in our model (sigmoid applied
-    # in forward); torch wraps them in Sequential(conv, Sigmoid)
-    params["rgb_conf_dec0"] = _conv_entry(groups["rgb_conf_dec0.0"])
-    put("id_dec1", "id_dec1")
-    put("id_dec0", "id_dec0", bn=False)
-    put("cf_dec1", "cf_dec1")
-    params["cf_dec0"] = _conv_entry(groups["cf_dec0.0"])
+    def fused_dec1(name, prefixes):
+        """Per-head conv_bn_relu stacks -> one fused ConvBNAct: kernels and
+        per-channel BN params concatenate along the output-channel axis."""
+        ks = [hwio(f"{p}.0") for p in prefixes]
+        bns = [groups[f"{p}.1"] for p in prefixes]
+        params[name] = {
+            "Conv_0": {"kernel": np.ascontiguousarray(
+                np.concatenate(ks, axis=3))},
+            "BatchNorm_0": {
+                "scale": np.concatenate([b["weight"] for b in bns]),
+                "bias": np.concatenate([b["bias"] for b in bns]),
+            },
+        }
+        stats[name] = {"BatchNorm_0": {
+            "mean": np.concatenate([b["running_mean"] for b in bns]),
+            "var": np.concatenate([b["running_var"] for b in bns]),
+        }}
+
+    def fused_dec0(name, prefixes, own_chans, shared_idx):
+        """Per-head convs over concat(own_i, fe1) -> BlockFusedConv params:
+        split each torch kernel's input rows at own_chans[i] (the reference
+        concatenates fd first, fe second — rdf_generator.py:244-258)."""
+        sub = {}
+        for i, (p, oc) in enumerate(zip(prefixes, own_chans)):
+            k = hwio(f"{p}.0")
+            sub[f"kernel_{i}_{i}"] = np.ascontiguousarray(k[:, :, :oc])
+            sub[f"kernel_{i}_{shared_idx}"] = np.ascontiguousarray(
+                k[:, :, oc:])
+            sub[f"bias_{i}"] = groups[f"{p}.0"]["bias"]
+        params[name] = sub
+
+    fused_dec1("rgb_dec1", ["rgb_pred_dec1", "rgb_conf_dec1"])
+    fused_dec0("rgb_dec0", ["rgb_pred_dec0", "rgb_conf_dec0"],
+               own_chans=(64, 32), shared_idx=2)
+    if use_nlspn_refine:
+        fused_dec1("depth_dec1", ["id_dec1", "gd_dec1", "cf_dec1"])
+        fused_dec0("depth_dec0", ["id_dec0", "gd_dec0", "cf_dec0"],
+                   own_chans=(64, 64, 32), shared_idx=3)
+    else:
+        fused_dec1("depth_dec1", ["id_dec1", "cf_dec1"])
+        fused_dec0("depth_dec0", ["id_dec0", "cf_dec0"],
+                   own_chans=(64, 32), shared_idx=2)
 
     if use_nlspn_refine:
-        put("gd_dec1", "gd_dec1")
-        put("gd_dec0", "gd_dec0", bn=False)
         oa = groups["nlspn_refine_module.prop_layer.conv_offset_aff"]
         num = oa["bias"].shape[0] // 3
         perm = nlspn_offset_channel_perm(num)
