@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--work_dir", type=str, required=True)
     add("--resume_from", type=str, default=None)
     add("--load_from", type=str, default=None)
+    add("--pretrained_resnet_path", type=str, default=None)
+    add("--pretrained_normal_path", type=str, default=None)
+    add("--pretrained_label_path", type=str, default=None)
     add("--log_interval", type=int, default=d.log_interval)
     add("--save_interval", type=int, default=d.save_interval)
     add("--sample_interval", type=int, default=d.sample_interval)

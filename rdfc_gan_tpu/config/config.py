@@ -190,6 +190,13 @@ def default_config() -> Config:
             compute_dtype="bfloat16",
             use_pallas="auto",  # auto | never | always
             donate=True,
+            # pretrained torso checkpoints (.pth): torchvision resnet18/34
+            # for the G_A2B branches (encoder_decoder/common.py:5-26), timm
+            # tf_efficientnet_b5_ap for G_normal (encoder.py:10-13), dilated
+            # R50 for G_label (backbone_resnet50.py:263-278)
+            pretrained_resnet_path=None,
+            pretrained_normal_path=None,
+            pretrained_label_path=None,
             # remat: True (all nets) | False | 'selective' (remat_nets only).
             # Selective is the measured sweet spot on v5e: recompute only the
             # big aux torsos, keep generator/disc activations live —

@@ -121,17 +121,37 @@ class RDFCGAN(BaseEngine):
                 "Nor": self.optimizers["Nor"].init(params["G_normal"]),
                 "label": self.optimizers["label"].init(params["G_label"]),
             }
+        import os
+
         pth = self.cfg.get("pretrained_resnet_path")
-        if pth:
+        if pth and os.path.exists(pth):
             # imagenet torsos for the two-branch generator (common.py:12-26)
-            import os
+            from ..utils.torch_convert import apply_pretrained_torsos
 
-            if os.path.exists(pth):
-                from ..utils.torch_convert import apply_pretrained_torsos
+            params["G_A2B"], stats["G_A2B"] = apply_pretrained_torsos(
+                params["G_A2B"], stats["G_A2B"], pth)
+        npth = self.cfg.get("pretrained_normal_path")
+        if npth and os.path.exists(npth):
+            # timm tf_efficientnet_b5_ap encoder for G_normal — the
+            # torch.hub pull of normal_net/submodules/encoder.py:10-13
+            from ..utils.torch_convert import (load_efficientnet_torso,
+                                               load_torch_state_dict)
 
-                key = "G_A2B"
-                params[key], stats[key] = apply_pretrained_torsos(
-                    params[key], stats[key], pth)
+            ncfg = self.cfg.model.get("Normal_G", {})
+            params["G_normal"], stats["G_normal"] = load_efficientnet_torso(
+                params["G_normal"], stats["G_normal"],
+                load_torch_state_dict(npth),
+                width=ncfg.get("width", 1.6), depth=ncfg.get("depth", 2.2))
+        lpth = self.cfg.get("pretrained_label_path")
+        if lpth and os.path.exists(lpth):
+            # pretrained dilated-R50 for G_label
+            # (backbone_resnet50.py:263-278 loads ./pretrained)
+            from ..utils.torch_convert import (load_pspnet_backbone,
+                                               load_torch_state_dict)
+
+            params["G_label"], stats["G_label"] = load_pspnet_backbone(
+                params["G_label"], stats["G_label"],
+                load_torch_state_dict(lpth))
 
         return GANTrainState(step=jnp.zeros((), jnp.int32), params=params,
                              batch_stats=stats, opt_states=opt_states)

@@ -435,28 +435,19 @@ def convert_pspnet(sd: Dict[str, np.ndarray]):
     return {"params": params, "batch_stats": stats}
 
 
-def convert_nnet(sd: Dict[str, np.ndarray], width: float = 1.6,
-                 depth: float = 2.2):
-    """G_normal (NNET) torch state dict -> flax param/batch_stats trees.
-
-    Torch layout: ``encoder.original_model.*`` is the gen-efficientnet
-    tf_efficientnet_b5_ap graph (conv_stem/bn1/blocks.s.b.{conv_pw,bn1,
-    conv_dw,bn2,se.conv_reduce,se.conv_expand,conv_pwl,bn3}/conv_head;
-    normal_net/submodules/encoder.py:10-13) and ``decoder.*`` is
-    conv2/up{1-4}._net.{0,1,3,4}/conv3 (decoder.py). The encoder's bn2/act2
-    never feed the decoder (it taps features[11] = conv_head output), so
-    bn2 is intentionally dropped."""
+def _effnet_encoder_trees(groups, pre: str, width: float, depth: float):
+    """gen-efficientnet/timm layout (conv_stem/bn1/blocks.s.b.*/conv_head)
+    -> our EfficientNetEncoder param/batch_stats trees."""
     from ..models.normal_net import _B0_BLOCKS, _round_repeats
 
-    groups = walk_state_dict(sd)
+    dot = pre + "." if pre else ""
     ep, es = {}, {}
-    pre = "encoder.original_model"
-    ep["Conv_0"] = _conv_entry(groups[f"{pre}.conv_stem"])
-    _put_bn(ep, es, "BatchNorm_0", groups[f"{pre}.bn1"])
+    ep["Conv_0"] = _conv_entry(groups[f"{dot}conv_stem"])
+    _put_bn(ep, es, "BatchNorm_0", groups[f"{dot}bn1"])
     mb = 0
     for si, (e, _c, r, _s, _k) in enumerate(_B0_BLOCKS):
         for bi in range(_round_repeats(r, depth)):
-            bp = f"{pre}.blocks.{si}.{bi}"
+            bp = f"{dot}blocks.{si}.{bi}"
             p, st = {}, {}
             if e != 1:  # InvertedResidual
                 p["Conv_0"] = _conv_entry(groups[f"{bp}.conv_pw"])
@@ -481,7 +472,70 @@ def convert_nnet(sd: Dict[str, np.ndarray], width: float = 1.6,
             ep[f"MBConv_{mb}"] = p
             es[f"MBConv_{mb}"] = st
             mb += 1
-    ep["Conv_1"] = _conv_entry(groups[f"{pre}.conv_head"])
+    ep["Conv_1"] = _conv_entry(groups[f"{dot}conv_head"])
+    return ep, es
+
+
+def load_efficientnet_torso(nnet_params: Dict[str, Any],
+                            nnet_stats: Dict[str, Any],
+                            sd: Dict[str, np.ndarray],
+                            width: float = 1.6, depth: float = 2.2):
+    """Load a timm `tf_efficientnet_b5_ap` checkpoint (raw names, or the
+    NNET wrapper's `encoder.original_model.` prefix) into an NNET param
+    tree's encoder — the torch.hub pretrained-encoder behavior
+    (normal_net/submodules/encoder.py:10-13). Returns updated copies."""
+    groups = walk_state_dict(sd)
+    pre = "encoder.original_model" \
+        if any(k.startswith("encoder.original_model.") for k in sd) else ""
+    ep, es = _effnet_encoder_trees(groups, pre, width, depth)
+    nnet_params = dict(nnet_params)
+    nnet_stats = dict(nnet_stats)
+    nnet_params["EfficientNetEncoder_0"] = ep
+    nnet_stats["EfficientNetEncoder_0"] = es
+    return nnet_params, nnet_stats
+
+
+def load_pspnet_backbone(psp_params: Dict[str, Any],
+                         psp_stats: Dict[str, Any],
+                         sd: Dict[str, np.ndarray]):
+    """Load the reference's pretrained dilated-R50 backbone .pth
+    (backbone_resnet50.py naming: deep stem ``conv1.{0,1,3,4,6}`` + ``bn1``
+    + ``layer1-4`` bottlenecks; loaded from ./pretrained at
+    backbone_resnet50.py:263-278) into a PSPNet param tree. Returns updated
+    copies; PSP/aux heads are left at init (they are not in the file)."""
+    groups = walk_state_dict(sd)
+    psp_params = dict(psp_params)
+    psp_stats = dict(psp_stats)
+    stem_p, stem_s = {}, {}
+    for i, (ci, bi) in enumerate(((0, 1), (3, 4))):
+        stem_p[f"Conv_{i}"] = _conv_entry(groups[f"conv1.{ci}"])
+        _put_bn(stem_p, stem_s, f"BatchNorm_{i}", groups[f"conv1.{bi}"])
+    stem_p["Conv_2"] = _conv_entry(groups["conv1.6"])
+    _put_bn(stem_p, stem_s, "BatchNorm_2", groups["bn1"])
+    psp_params["DeepStem_0"] = stem_p
+    psp_stats["DeepStem_0"] = stem_s
+    for li in range(4):
+        p, st = _bottleneck_blocks(groups, f"layer{li + 1}")
+        if p:
+            psp_params[f"ResNetStage_{li}"] = p
+            psp_stats[f"ResNetStage_{li}"] = st
+    return psp_params, psp_stats
+
+
+def convert_nnet(sd: Dict[str, np.ndarray], width: float = 1.6,
+                 depth: float = 2.2):
+    """G_normal (NNET) torch state dict -> flax param/batch_stats trees.
+
+    Torch layout: ``encoder.original_model.*`` is the gen-efficientnet
+    tf_efficientnet_b5_ap graph (conv_stem/bn1/blocks.s.b.{conv_pw,bn1,
+    conv_dw,bn2,se.conv_reduce,se.conv_expand,conv_pwl,bn3}/conv_head;
+    normal_net/submodules/encoder.py:10-13) and ``decoder.*`` is
+    conv2/up{1-4}._net.{0,1,3,4}/conv3 (decoder.py). The encoder's bn2/act2
+    never feed the decoder (it taps features[11] = conv_head output), so
+    bn2 is intentionally dropped."""
+    groups = walk_state_dict(sd)
+    ep, es = _effnet_encoder_trees(groups, "encoder.original_model",
+                                   width, depth)
 
     dp, ds = {}, {}
     dp["Conv_0"] = _conv_entry(groups["decoder.conv2"])

@@ -254,3 +254,70 @@ def test_nnet_b5_full_width_structure():
     want_bs = jax.tree.map(lambda a: a.shape, variables["batch_stats"])
     got_bs = jax.tree.map(lambda a: tuple(a.shape), tree["batch_stats"])
     assert want_bs == got_bs
+
+
+def test_efficientnet_torso_loader(rng):
+    """pretrained_normal_path: a raw timm-layout B5 checkpoint (no wrapper
+    prefix) loads into the NNET encoder and reproduces the wrapped
+    conversion exactly (encoder.py:10-13 torch.hub behavior)."""
+    from torch_ref_models import TorchNNET
+
+    from rdfc_gan_tpu.utils.torch_convert import (convert_nnet,
+                                                  load_efficientnet_torso)
+
+    W, D = 0.5, 0.5
+    tm = TorchNNET(out_height=16, out_width=16, width=W, depth=D)
+    _randomize_bn(tm, rng)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    full = convert_nnet(sd, width=W, depth=D)
+
+    # raw timm layout: strip the NNET wrapper prefix
+    raw_sd = {k[len("encoder.original_model."):]: v for k, v in sd.items()
+              if k.startswith("encoder.original_model.")}
+    init_p = {"EfficientNetEncoder_0": {}, "NormalDecoder_0": {"keep": 1}}
+    init_s = {"EfficientNetEncoder_0": {}, "NormalDecoder_0": {}}
+    p, s = load_efficientnet_torso(init_p, init_s, raw_sd, width=W, depth=D)
+    got = jax.tree.map(lambda a: a.tolist(), p["EfficientNetEncoder_0"])
+    want = jax.tree.map(lambda a: a.tolist(),
+                        full["params"]["EfficientNetEncoder_0"])
+    assert got == want
+    assert p["NormalDecoder_0"] == {"keep": 1}  # decoder untouched
+    got_s = jax.tree.map(lambda a: a.tolist(), s["EfficientNetEncoder_0"])
+    want_s = jax.tree.map(lambda a: a.tolist(),
+                          full["batch_stats"]["EfficientNetEncoder_0"])
+    assert got_s == want_s
+
+
+def test_pspnet_backbone_loader(rng):
+    """pretrained_label_path: a backbone-layout dilated-R50 .pth (deep stem
+    conv1.{0,1,3,4,6} + bn1 + layer1-4, backbone_resnet50.py:263-278) loads
+    into the PSPNet tree and matches the full-checkpoint conversion."""
+    from torch_ref_models import TorchPSPNet
+
+    from rdfc_gan_tpu.utils.torch_convert import (convert_pspnet,
+                                                  load_pspnet_backbone)
+
+    tm = TorchPSPNet(num_classes=5, planes=(8, 8, 16, 16), stem=8)
+    _randomize_bn(tm, rng)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    full = convert_pspnet(sd)
+
+    # backbone-layout file: initial.0.* -> conv1.*, initial.1 -> bn1
+    bb_sd = {}
+    for k, v in sd.items():
+        if k.startswith("initial.0."):
+            bb_sd["conv1." + k[len("initial.0."):]] = v
+        elif k.startswith("initial.1."):
+            bb_sd["bn1." + k[len("initial.1."):]] = v
+        elif k.startswith("layer"):
+            bb_sd[k] = v
+    p, s = load_pspnet_backbone({"Conv_0": {"keep": 1}}, {}, bb_sd)
+    assert p["Conv_0"] == {"keep": 1}  # heads untouched
+    for key in ("DeepStem_0", "ResNetStage_0", "ResNetStage_3"):
+        got = jax.tree.map(lambda a: a.tolist(), p[key])
+        want = jax.tree.map(lambda a: a.tolist(), full["params"][key])
+        assert got == want, key
+        got_s = jax.tree.map(lambda a: a.tolist(), s[key])
+        want_s = jax.tree.map(lambda a: a.tolist(),
+                              full["batch_stats"][key])
+        assert got_s == want_s, key
