@@ -222,3 +222,57 @@ def test_multiscale_label_and_formatters():
 
     sample = EnsureChannels(["labels"])(sample, rng)
     assert sample["labels"].shape == (64, 96, 1)
+
+
+def test_data_augmentation_corruption_zoo(tmp_path):
+    """The cleargrasp-heritage corruption/io family
+    (lib/utils/data_augmentation.py parity)."""
+    import numpy as np
+
+    from rdfc_gan_tpu.utils import data_augmentation as da
+
+    rng = np.random.default_rng(0)
+    depth = np.abs(rng.normal(2.0, 0.5, (48, 64))).astype(np.float32)
+    rgb = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+
+    # uint16 png roundtrip + refusal of wrong dtype
+    import cv2
+    import pytest as _pytest
+    p = str(tmp_path / "d.png")
+    da.save_uint16_png(p, da.scale_depth(depth))
+    back = da.unscale_depth(cv2.imread(p, cv2.IMREAD_ANYDEPTH))
+    np.testing.assert_allclose(back, depth, atol=1e-3)
+    with _pytest.raises(ValueError):
+        da.save_uint16_png(p, depth)
+
+    norm = da.normalize_depth_img(depth, np.uint8, 0.0, 4.0)
+    assert norm.dtype == np.uint8 and norm.max() > 0
+
+    noisy = da.add_noise(rgb, rng)
+    assert noisy.shape == rgb.shape and noisy.dtype == np.uint8
+    chrom = da.chromatic_transform(rgb, rng)
+    assert chrom.shape == rgb.shape
+
+    cam = dict(fx=500.0, fy=500.0, cx=32.0, cy=24.0, xres=64, yres=48)
+    xyz = da.compute_xyz(depth, cam)
+    assert xyz.shape == (48, 64, 3)
+    np.testing.assert_allclose(xyz[..., 2], depth)
+    # back-projection oracle: x at the principal point is 0
+    assert abs(xyz[24, 32, 0]) < 1e-4 and abs(xyz[24, 32, 1]) < 1e-4
+
+    params = dict(ellipse_dropout_mean=5, ellipse_gamma_shape=5.0,
+                  ellipse_gamma_scale=1.0, gamma_shape=1000.0,
+                  gamma_scale=0.001, gaussian_scale=0.005,
+                  gp_rescale_factor=4)
+    vm = (depth > 0).astype(np.uint8)
+    dropped = da.dropout_random_ellipses_4mask(vm, rng, params)
+    assert dropped.sum() <= vm.sum()
+    cm = np.zeros_like(vm)
+    grown = da.dropout_random_ellipses_4corruptmask(cm, rng, params)
+    assert grown.sum() >= cm.sum()
+
+    nd = da.add_noise_to_depth(depth, rng, params)
+    assert nd.shape == depth.shape and (nd > 0).all()
+    nxyz = da.add_noise_to_xyz(xyz, depth, rng, params)
+    assert nxyz.shape == xyz.shape
+    assert not np.allclose(nxyz, xyz)  # reference returned None here
