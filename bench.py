@@ -8,6 +8,12 @@ vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
 denominator is the BASELINE.json north-star proxy — an estimated 8 img/s
 V100 training throughput for this model family at bs4 (PyTorch 1.6 era).
 The north-star target is vs_baseline >= 5.
+
+Round-2 state: 26.2 img/s/chip (vs_baseline ~3.3) with selective remat +
+exact G_B2A path-batching + fused stems/heads. XLA cost analysis shows the
+step at 95% of v5e HBM bandwidth (memory-bound, 94% of its own bandwidth
+floor) — further gains need byte-reduction, not scheduling; the full
+roofline is in docs/PERF_NOTES.md.
 """
 
 from __future__ import annotations

@@ -276,3 +276,37 @@ def test_data_augmentation_corruption_zoo(tmp_path):
     nxyz = da.add_noise_to_xyz(xyz, depth, rng, params)
     assert nxyz.shape == xyz.shape
     assert not np.allclose(nxyz, xyz)  # reference returned None here
+
+
+def test_multiscale_label_feeds_pyramid_supervision():
+    """MultiScaleLabel's label_down pyramid matches the ESANet side-output
+    resolutions (1/8, 1/16, 1/32) and feeds the seg losses — the v1
+    pyramid-supervision training contract (RDF-GAN decoder.py:74-130)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rdfc_gan_tpu.data.transforms import MultiScaleLabel
+    from rdfc_gan_tpu.losses.gan_loss import softmax_cross_entropy_loss
+    from rdfc_gan_tpu.models.esanet import ESANetOneModality
+
+    H, W, C = 64, 64, 5
+    rng = np.random.default_rng(0)
+    sample = {"labels": rng.integers(0, C, size=(H, W)).astype(np.int32)}
+    sample = MultiScaleLabel()(sample, rng)
+
+    m = ESANetOneModality(height=H, width=W, num_classes=C,
+                          channels_decoder=(16, 16, 16),
+                          pyramid_supervision=True)
+    x = jnp.asarray(rng.normal(size=(1, H, W, 3)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=True)
+    out, s8, s16, s32 = m.apply(variables, x, train=True,
+                                mutable=["batch_stats"])[0]
+    assert out.shape == (1, H, W, C)
+    total = softmax_cross_entropy_loss(out, jnp.asarray(
+        sample["labels"])[None])
+    for side, rate in ((s8, 8), (s16, 16), (s32, 32)):
+        lbl = jnp.asarray(sample["label_down"][rate])[None]
+        assert side.shape[1:3] == lbl.shape[1:3], rate
+        total = total + softmax_cross_entropy_loss(side, lbl)
+    assert np.isfinite(float(total))
