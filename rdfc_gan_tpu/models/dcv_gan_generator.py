@@ -27,8 +27,18 @@ class DCVGANGenerator(nn.Module):
     use_guidance: bool = True
     guidance_classes: int = 40
     guidance_encoder: str = "resnet18"
+    # guidance-module configuration (the reference's --guidance_* CLI
+    # surface, RDF-GAN/lib/tools/config.py)
+    guidance_channels_decoder: Sequence[int] = (128, 128, 128)
+    guidance_nr_decoder_blocks: Sequence[int] = (1, 1, 1)
+    guidance_encoder_decoder_fusion: str = "add"
+    guidance_context_module: str = "ppm"
+    guidance_weighting_in_encoder: str = "SE-add"
+    guidance_upsampling: str = "learned-3x3-zeropad"
     encoder_rgb: str = "resnet18"
     encoder_depth: str = "resnet18"
+    fuse_depth_in_rgb_decoder: str = "WAdaIN"
+    adain_weighting: bool = False
     use_nlspn_refine: bool = True
     nlspn_configs: Optional[dict] = None
     rgb_channels_encoder: Sequence[int] = (64, 64, 128, 256, 512, 512)
@@ -42,8 +52,12 @@ class DCVGANGenerator(nn.Module):
             self.global_guidance_module = ESANetOneModality(
                 num_classes=self.guidance_classes,
                 encoder=self.guidance_encoder,
-                weighting_in_encoder="SE-add",
-                upsampling="learned-3x3-zeropad",
+                channels_decoder=tuple(self.guidance_channels_decoder),
+                nr_decoder_blocks=tuple(self.guidance_nr_decoder_blocks),
+                encoder_decoder_fusion=self.guidance_encoder_decoder_fusion,
+                context_module=self.guidance_context_module,
+                weighting_in_encoder=self.guidance_weighting_in_encoder,
+                upsampling=self.guidance_upsampling,
                 pyramid_supervision=False,
                 axis_name=self.axis_name)
         self.core = RDFGenerator(
@@ -51,6 +65,8 @@ class DCVGANGenerator(nn.Module):
             encoder_depth=self.encoder_depth,
             semantic_channels_in=(self.guidance_classes if self.use_guidance
                                   else 3),
+            fuse_depth_in_rgb_decoder=self.fuse_depth_in_rgb_decoder,
+            adain_weighting=self.adain_weighting,
             use_nlspn_refine=self.use_nlspn_refine,
             nlspn_configs=self.nlspn_configs,
             rgb_channels_encoder=self.rgb_channels_encoder,

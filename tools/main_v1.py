@@ -62,12 +62,76 @@ def build_parser():
     # v1 guidance / NLSPN knobs (RDF-GAN/lib/tools/config.py)
     add("--use_guidance", action="store_true", default=False)
     add("--guidance_classes", type=int, default=40)
+    add("--guidance_encoder", default="resnet18")
+    add("--guidance_encoder_block", default="BasicBlock")
+    add("--guidance_channels_decoder", type=int, nargs="+",
+        default=[128, 128, 128])
+    add("--guidance_nr_decoder_blocks", type=int, nargs="+",
+        default=[1, 1, 1])
+    add("--guidance_encoder_decoder_fusion", default="add")
+    add("--guidance_context_module", default="ppm")
+    add("--guidance_weighting_in_encoder", default="SE-add")
+    add("--guidance_upsampling", default="learned-3x3-zeropad")
+    add("--guidance_pretrained_dir", default=None)
+    add("--semantic_channels_in", type=int, default=3)
+    add("--encoder_rgb", default="resnet18")
+    add("--encoder_depth", default="resnet18")
+    add("--encoder_block", default="BasicBlock")
+    add("--rgb_channels_encoder", type=int, nargs="+",
+        default=[64, 64, 128, 256, 512, 512])
+    add("--depth_channels_encoder", type=int, nargs="+",
+        default=[64, 64, 128, 256, 512, 512])
+    add("--rgb_channels_decoder", type=int, nargs="+",
+        default=[256, 128, 64, 64])
+    add("--depth_channels_decoder", type=int, nargs="+",
+        default=[256, 128, 64, 64])
+    add("--rgb_encoder_decoder_fusion", default="concat")
+    add("--depth_encoder_decoder_fusion", default="concat")
+    add("--activation", default="LeakyReLU")
+    add("--norm_layer_type", default="IN2d")
+    add("--use_nlspn_to_refine", action="store_true", default=False)
     add("--prop_kernel", type=int, default=3)
     add("--prop_time", type=int, default=18)
     add("--affinity", default="TGASS", choices=["AS", "ASS", "TC", "TGASS"])
     add("--affinity_gamma", type=float, default=0.5)
     add("--conf_prop", action="store_true", default=True)
+    add("--no_conf", action="store_true", default=False)
     add("--preserve_input", action="store_true", default=False)
+    add("--disc_norm_type", default="BN2d")
+    add("--disc_act_type", default="LeakyReLU")
+    # the reference parses but never uses the l2 coefs and the
+    # encoder-decoder warm-start flags (main.py:558-563 uses l1 only; the
+    # load_encoder_decoder path is commented out, main.py:48) — accepted
+    # here for recipe compatibility
+    add("--use_pretrained_encoder_decoder", action="store_true")
+    add("--load_encoder_decoder_path", default=None)
+    add("--freeze_encoder_decoder", action="store_true")
+    add("--rgb_branch_l2_loss_coef", type=float, default=0.0)
+    add("--depth_branch_l2_loss_coef", type=float, default=0.0)
+    add("--final_l2_loss_coef", type=float, default=0.0)
+    add("--generator_l1_loss_coef", type=float, default=1.0)
+    add("--momentum", type=float, default=0.9)
+    add("--weight_decay", type=float, default=0.0)
+    add("--repeat_times", type=int, default=20)
+    add("--num_workers", type=int, default=8)
+    add("--pretrained_on_imagenet", action="store_true", default=False)
+    add("--pretrained_resnet_path", default=None)
+    add("--init_disc", action="store_true", default=False)
+    add("--sample_interval", type=int, default=1000)
+    add("--sample_dir", default="./")
+    add("--gpus", default="0")  # accepted for recipe parity; JAX-managed
+    add("--start_epoch", type=int, default=0)
+    # reference aliases
+    add("--max_epoch", type=int, default=None,
+        help="alias of --n_epochs (reference name)")
+    add("--learning_rate", type=float, default=None,
+        help="alias of --lr (reference name)")
+    add("--rgb_branch_l1_loss_coef", type=float, default=None,
+        help="alias of --lambda_l1_rgb_branch")
+    add("--depth_branch_l1_loss_coef", type=float, default=None,
+        help="alias of --lambda_l1_depth_branch")
+    add("--final_l1_loss_coef", type=float, default=None,
+        help="alias of --lambda_l1_fusion")
     add("--lambda_l1_rgb_branch", type=float, default=100.0)
     add("--lambda_l1_depth_branch", type=float, default=100.0)
     add("--lambda_l1_fusion", type=float, default=100.0)
@@ -93,6 +157,20 @@ def build_parser():
 def make_cfg(args):
     from rdfc_gan_tpu.config import default_config
 
+    # resolve reference-name aliases
+    if args.max_epoch is not None:
+        args.n_epochs = args.max_epoch
+    if args.learning_rate is not None:
+        args.lr = args.learning_rate
+    if args.rgb_branch_l1_loss_coef is not None:
+        args.lambda_l1_rgb_branch = args.rgb_branch_l1_loss_coef
+    if args.depth_branch_l1_loss_coef is not None:
+        args.lambda_l1_depth_branch = args.depth_branch_l1_loss_coef
+    if args.final_l1_loss_coef is not None:
+        args.lambda_l1_fusion = args.final_l1_loss_coef
+    if args.no_conf:
+        args.conf_prop = False
+
     cfg = default_config()
     cfg.merge(vars(args))
     if args.model == "vanilla":
@@ -110,7 +188,26 @@ def make_cfg(args):
             "type": "DCVGANGenerator",
             "use_guidance": args.use_guidance,
             "guidance_classes": args.guidance_classes,
-            "use_nlspn_refine": True,
+            "guidance_encoder": args.guidance_encoder,
+            "guidance_channels_decoder": list(args.guidance_channels_decoder),
+            "guidance_nr_decoder_blocks": list(args.guidance_nr_decoder_blocks),
+            "guidance_encoder_decoder_fusion":
+                args.guidance_encoder_decoder_fusion,
+            "guidance_context_module": args.guidance_context_module,
+            "guidance_weighting_in_encoder":
+                args.guidance_weighting_in_encoder,
+            "guidance_upsampling": args.guidance_upsampling,
+            "encoder_rgb": args.encoder_rgb,
+            "encoder_depth": args.encoder_depth,
+            "rgb_channels_encoder": list(args.rgb_channels_encoder),
+            "depth_channels_encoder": list(args.depth_channels_encoder),
+            "rgb_channels_decoder": list(args.rgb_channels_decoder),
+            "depth_channels_decoder": list(args.depth_channels_decoder),
+            "fuse_depth_in_rgb_decoder": args.fuse_depth_in_rgb_decoder,
+            "adain_weighting": args.adain_weighting,
+            # reference default: NLSPNIdentity unless --use_nlspn_to_refine
+            # (the shipped bash recipes all pass it)
+            "use_nlspn_refine": args.use_nlspn_to_refine,
             "nlspn_configs": {
                 "prop_kernel": args.prop_kernel,
                 "prop_time": args.prop_time,
@@ -152,6 +249,8 @@ def main(argv=None):
     if cfg.dataset == "synthetic":
         ds_kwargs.update(height=args.height or 32, width=args.width or 32,
                          num_classes=args.num_classes)
+    if cfg.dataset == "ddrnet_human":
+        ds_kwargs["times"] = args.repeat_times
     train_ds = build_dataset(dict(type=cfg.dataset, mode="train", **ds_kwargs))
     val_ds = build_dataset(dict(type=cfg.dataset, mode="val", **ds_kwargs))
     train_loader = DataLoader(train_ds, cfg.batch_size, seed=cfg.seed)
