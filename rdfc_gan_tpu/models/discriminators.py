@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..registry import DISCRIMINATORS
-from .layers import gan_kernel_init
+from .layers import BatchNorm, gan_kernel_init
 
 
 def _act(name: str):
@@ -53,7 +53,7 @@ class PatchGANDiscriminator(nn.Module):
                         padding=self.padding[i],
                         kernel_init=gan_kernel_init)(x)
             if 0 < i < n - 1:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
             if i < n - 1:
                 x = act(x)
@@ -72,7 +72,7 @@ class PixelGANDiscriminator(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(self.ndf * 2, (1, 1), use_bias=False,
                     kernel_init=gan_kernel_init)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         return nn.Conv(1, (1, 1), kernel_init=gan_kernel_init)(x)
@@ -84,7 +84,7 @@ class PointNetDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, pts, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=z.dtype)(z)
 
         h = nn.relu(bn(nn.Dense(64)(pts)))

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import NonBottleneck1D, bilinear_resize, kaiming_init
+from .layers import BatchNorm, NonBottleneck1D, bilinear_resize, kaiming_init
 from .resnet import ResNetStem, make_stages
 
 
@@ -53,7 +53,7 @@ class ConvBNActESA(nn.Module):
         x = nn.Conv(self.features, (self.kernel,) * 2,
                     padding=self.kernel // 2, use_bias=False,
                     kernel_init=kaiming_init)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         return nn.relu(x)
 

@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import bilinear_resize
+from .layers import BatchNorm, bilinear_resize
 from .resnet import DeepStem, make_stages
 
 
@@ -45,7 +45,7 @@ class PSPModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         C = x.shape[-1]
@@ -96,7 +96,7 @@ class PSPNet(nn.Module):
 
         if (train or force_aux) and self.use_aux:
             def bn(z):
-                return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                return BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
             aux = nn.relu(bn(nn.Conv(self.planes[3], (3, 3), padding=1,

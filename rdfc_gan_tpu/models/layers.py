@@ -33,6 +33,60 @@ def leaky_relu02(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+class BatchNorm(nn.Module):
+    """Drop-in BatchNorm that keeps full-resolution traffic in the
+    activation dtype.
+
+    flax.linen.BatchNorm upcasts the activation to f32 for BOTH the
+    statistics and the normalization elementwise chain; in the flagship
+    train step those f32 copies of full-res tensors were 129 GB of the
+    237 GB HBM traffic per step (docs/PERF_NOTES.md round-2 HLO audit).
+    Here the per-channel statistics are f32 reductions (converts fuse into
+    the reduces — nothing f32 materializes at activation shape) and the
+    normalization is a single fused x*a+b in x.dtype with per-channel
+    a = scale/sqrt(var+eps), b = bias - mean*a computed in f32.
+
+    Same class name => same flax auto-naming (``BatchNorm_N``) => identical
+    param/batch_stats trees and checkpoint/converter compatibility. Biased
+    variance for both normalization and the running update (flax
+    semantics). ``axis_name`` pmeans the statistics across the mesh axis
+    (SyncBN)."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Any = None  # accepted for drop-in compat; math is fixed as above
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red)
+            mean2 = jnp.mean(jnp.square(xf), axis=red)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        b = bias.astype(jnp.float32) - mean * a
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-image, per-channel normalization; no affine (torch IN2d default).
 
@@ -74,7 +128,7 @@ class ConvBNAct(nn.Module):
             kernel_init=self.kernel_init,
         )(x)
         if self.bn:
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
@@ -142,7 +196,7 @@ class ConvTBNAct(nn.Module):
             kernel_init=self.kernel_init,
         )(x)
         if self.bn:
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
@@ -299,7 +353,7 @@ class NonBottleneck1D(nn.Module):
         def norm(z):
             if self.use_in:
                 return instance_norm(z, eps=1e-3)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         out = nn.Conv(self.planes, (3, 1), strides=(self.stride, 1),

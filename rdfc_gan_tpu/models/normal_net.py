@@ -21,7 +21,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import bilinear_resize
+from .layers import BatchNorm, bilinear_resize
 
 
 def _round_channels(c: float, width: float, divisor: int = 8) -> int:
@@ -70,7 +70,7 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         cin = x.shape[-1]
@@ -99,7 +99,7 @@ class EfficientNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True) -> Sequence[jnp.ndarray]:
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         stem = _round_channels(32, self.width)
@@ -134,7 +134,7 @@ class UpSampleBN(nn.Module):
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         up = bilinear_resize(x, (skip.shape[1], skip.shape[2]),

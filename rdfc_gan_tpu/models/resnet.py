@@ -15,7 +15,7 @@ from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 
-from .layers import kaiming_init
+from .layers import BatchNorm, kaiming_init
 
 
 class BasicBlock(nn.Module):
@@ -27,7 +27,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
@@ -55,7 +55,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
@@ -152,7 +152,7 @@ class ResNetStem(nn.Module):
     def __call__(self, x, train: bool = True):
         x = nn.Conv(self.features, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, kernel_init=kaiming_init)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -170,7 +170,7 @@ class DeepStem(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name,
                                 dtype=z.dtype)(z)
 

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..registry import GENERATORS
-from .layers import TorchConvTranspose, gan_kernel_init, instance_norm, reflect_pad
+from .layers import BatchNorm, TorchConvTranspose, gan_kernel_init, instance_norm, reflect_pad
 
 
 class PReLU(nn.Module):
@@ -39,7 +39,7 @@ class ResnetBlock(nn.Module):
         def norm(z):
             if self.norm.lower() == "in2d":
                 return instance_norm(z)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         h = reflect_pad(x, 1)
@@ -69,7 +69,7 @@ class ResnetGenerator(nn.Module):
         def norm(z):
             if self.norm_layer.lower() == "in2d":
                 return instance_norm(z)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
         h = reflect_pad(x, 3)
