@@ -82,10 +82,12 @@ def save_checkpoint_orbax(state, directory: str, step: int,
     ckptr = ocp.StandardCheckpointer()
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     ckptr.save(path, jax.device_get(state))
-    if meta and jax.process_index() == 0:
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f, default=str)
+    # the async save owns `path` until finalized (and may reject foreign
+    # files inside it) — wait, then write meta as a SIBLING file
     ckptr.wait_until_finished()
+    if meta and jax.process_index() == 0:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, default=str)
 
 
 def load_checkpoint_orbax(state_template, directory: str, step: int):
@@ -95,8 +97,9 @@ def load_checkpoint_orbax(state_template, directory: str, step: int):
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     state = ckptr.restore(path, jax.device_get(state_template))
     meta = {}
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    for meta_path in (path + ".meta.json", os.path.join(path, "meta.json")):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            break
     return state, meta

@@ -119,3 +119,22 @@ def test_lr_schedule_linear_decay():
     assert float(f(jnp.asarray(99.0))) == 1.0
     np.testing.assert_allclose(float(f(jnp.asarray(125.0))), 0.5)
     np.testing.assert_allclose(float(f(jnp.asarray(150.0))), 0.0)
+
+
+def test_orbax_checkpoint_roundtrip(rdfgan_setup, tmp_path):
+    """Async orbax checkpoint path (save/load_checkpoint_orbax) round-trips
+    a GANTrainState exactly — the large-scale alternative to the msgpack
+    default."""
+    pytest.importorskip("orbax.checkpoint")
+    from rdfc_gan_tpu.utils.checkpoint import (load_checkpoint_orbax,
+                                               save_checkpoint_orbax)
+
+    eng, state, batch = rdfgan_setup
+    save_checkpoint_orbax(state, str(tmp_path / "ckpt"), step=3,
+                          meta=dict(epoch=2))
+    restored, meta = load_checkpoint_orbax(state, str(tmp_path / "ckpt"),
+                                           step=3)
+    assert meta.get("epoch") == 2
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
