@@ -228,11 +228,14 @@ class MultiScaleLabel:
         if label.ndim == 3:
             label = label.squeeze(-1)
         h, w = label.shape
-        sample["label_down"] = {
-            rate: cv2.resize(label, (w // rate, h // rate),
-                             interpolation=cv2.INTER_NEAREST)
-            for rate in self.rates
-        }
+        # FLAT per-rate keys (label_down_8/16/32), not the reference's
+        # nested dict (transforms.py:345-352): dict-valued sample keys
+        # np.stack into object arrays in the DataLoader and cannot be
+        # batched or device_put
+        for rate in self.rates:
+            sample[f"label_down_{rate}"] = cv2.resize(
+                label, (w // rate, h // rate),
+                interpolation=cv2.INTER_NEAREST)
         return sample
 
 

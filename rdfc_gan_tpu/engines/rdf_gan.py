@@ -76,15 +76,17 @@ class RDFGAN(BaseEngine):
             }
         pth = self.cfg.get("pretrained_resnet_path")
         if pth:
-            # imagenet torsos for the two-branch generator (common.py:12-26)
+            # imagenet torsos for the two-branch generator (common.py:12-26);
+            # an explicit path that does not exist must fail loudly
             import os
 
-            if os.path.exists(pth):
-                from ..utils.torch_convert import apply_pretrained_torsos
+            if not os.path.exists(pth):
+                raise FileNotFoundError(
+                    f"configured pretrained checkpoint not found: {pth}")
+            from ..utils.torch_convert import apply_pretrained_torsos
 
-                key = "G"
-                params[key], stats[key] = apply_pretrained_torsos(
-                    params[key], stats[key], pth)
+            params["G"], stats["G"] = apply_pretrained_torsos(
+                params["G"], stats["G"], pth)
 
         return GANTrainState(step=jnp.zeros((), jnp.int32), params=params,
                              batch_stats=stats, opt_states=opt_states)

@@ -123,15 +123,23 @@ class RDFCGAN(BaseEngine):
             }
         import os
 
-        pth = self.cfg.get("pretrained_resnet_path")
-        if pth and os.path.exists(pth):
+        def _require(path):
+            # an explicitly configured pretrained path that does not exist
+            # must fail loudly, not silently train from random init
+            if path and not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"configured pretrained checkpoint not found: {path}")
+            return path
+
+        pth = _require(self.cfg.get("pretrained_resnet_path"))
+        if pth:
             # imagenet torsos for the two-branch generator (common.py:12-26)
             from ..utils.torch_convert import apply_pretrained_torsos
 
             params["G_A2B"], stats["G_A2B"] = apply_pretrained_torsos(
                 params["G_A2B"], stats["G_A2B"], pth)
-        npth = self.cfg.get("pretrained_normal_path")
-        if npth and os.path.exists(npth):
+        npth = _require(self.cfg.get("pretrained_normal_path"))
+        if npth:
             # timm tf_efficientnet_b5_ap encoder for G_normal — the
             # torch.hub pull of normal_net/submodules/encoder.py:10-13
             from ..utils.torch_convert import (load_efficientnet_torso,
@@ -142,8 +150,8 @@ class RDFCGAN(BaseEngine):
                 params["G_normal"], stats["G_normal"],
                 load_torch_state_dict(npth),
                 width=ncfg.get("width", 1.6), depth=ncfg.get("depth", 2.2))
-        lpth = self.cfg.get("pretrained_label_path")
-        if lpth and os.path.exists(lpth):
+        lpth = _require(self.cfg.get("pretrained_label_path"))
+        if lpth:
             # pretrained dilated-R50 for G_label
             # (backbone_resnet50.py:263-278 loads ./pretrained)
             from ..utils.torch_convert import (load_pspnet_backbone,

@@ -38,6 +38,21 @@ class Eval:
         None). Pad rows of a non-full final batch (sample_idx == -1) are
         dropped so the split is covered exactly once (rdf_gan_metric.py:
         135-151 per-image semantics)."""
+        multi = jax.process_count() > 1
+        if multi:
+            from jax.experimental import multihost_utils
+
+        def to_host(x):
+            """Global (possibly non-addressable) device array -> full numpy.
+            np.asarray raises on arrays spanning other hosts; the tiled
+            allgather materializes the global value on every process — the
+            TPU-native replacement for the reference's tmpdir-pickle
+            collection (misc.py:12-57)."""
+            if multi:
+                return np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True))
+            return np.asarray(x)
+
         rows, idxs = [], []
         for data in self.dataloader:
             ret = model.forward_test(state, rgb=data["rgb"],
@@ -45,10 +60,10 @@ class Eval:
             pd_ = ret["pred_depth"][..., 0] * self.depth_std + self.depth_mean
             gt = data["gt_depth"][..., 0] * self.depth_std + self.depth_mean
             em = data.get("evaluate_mask")
-            r = np.asarray(self._metric_fn(gt, pd_, em))
+            r = to_host(self._metric_fn(gt, pd_, em))
             si = data.get("sample_idx")
             if si is not None:
-                si = np.asarray(si)
+                si = to_host(si)
                 keep = si >= 0
                 r, si = r[keep], si[keep]
                 idxs.append(si)
@@ -58,18 +73,9 @@ class Eval:
         return rows, idx
 
     def evaluate(self, model, state, logger=None) -> Dict[str, float]:
+        # inference() already materializes GLOBAL rows on every process
+        # (tiled allgather per batch under multi-host)
         rows, idx = self.inference(model, state)
-        if jax.process_count() > 1:
-            # multi-host: gather per-image rows across processes — the
-            # TPU-native replacement for the reference's tmpdir-pickle
-            # collection (misc.py:12-57)
-            from jax.experimental import multihost_utils
-
-            rows = np.asarray(multihost_utils.process_allgather(rows)
-                              ).reshape(-1, rows.shape[-1])
-            if idx is not None:
-                idx = np.asarray(
-                    multihost_utils.process_allgather(idx)).reshape(-1)
         if idx is not None:
             # drop cross-host shard-padding duplicates (same index loaded by
             # two hosts when len(dataset) % process_count != 0)

@@ -28,18 +28,28 @@ MAX_STENCIL_RADIUS = 4
 
 
 def probe_max_offset(engine, state, batch) -> float:
-    """Run one forward_test and return the G_A2B max |offset| (0.0 when the
-    model has no NLSPN stage or does not report telemetry)."""
+    """Run one generator forward and return the max |offset| (0.0 when the
+    model has no NLSPN stage or does not report telemetry). Works for both
+    the RDFCGAN ('G_A2B') and RDFGAN ('G') engines."""
     import jax.numpy as jnp
 
-    mod = engine.modules.get("G_A2B")
-    if mod is None or not getattr(mod, "use_nlspn_refine", False):
+    key = "G_A2B" if "G_A2B" in engine.modules else "G"
+    mod = engine.modules.get(key)
+    if mod is None or not getattr(
+            mod, "use_nlspn_refine", getattr(
+                getattr(mod, "core", None), "use_nlspn_refine", False)):
         return 0.0
-    variables = {"params": state.params["G_A2B"]}
-    if state.batch_stats.get("G_A2B"):
-        variables["batch_stats"] = state.batch_stats["G_A2B"]
-    ret = mod.apply(variables, batch["rgb"], batch["raw_depth"],
-                    jnp.asarray(batch["rgb"]), train=False)
+    variables = {"params": state.params[key]}
+    if state.batch_stats.get(key):
+        variables["batch_stats"] = state.batch_stats[key]
+    if key == "G_A2B":
+        ret = mod.apply(variables, batch["rgb"], batch["raw_depth"],
+                        jnp.asarray(batch["rgb"]), train=False)
+    else:  # v1 generator: G(rgb, depth)
+        ret = mod.apply(variables, batch["rgb"], batch["raw_depth"],
+                        train=False)
+    if not isinstance(ret, dict):
+        return 0.0
     return float(ret.get("nlspn_max_offset", 0.0))
 
 

@@ -55,8 +55,15 @@ def load_checkpoint(state_template, filename: str,
         hlen = int.from_bytes(f.read(8), "little")
         header = f.read(hlen)
         if magic == _MAGIC_V1:
-            # round-1 files pickled the header; only the epoch/batch meta is
-            # kept there, so refuse quietly rather than unpickle
+            # round-1 files pickled the header; refuse to unpickle, but say
+            # so — the caller loses the epoch counter (resume restarts the
+            # LR schedule at 0 unless it recovers epoch elsewhere)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s is a legacy (V1-header) checkpoint: meta header is "
+                "pickled and will NOT be read — epoch/batch metadata "
+                "unavailable", filename)
             meta = {}
         else:
             meta = json.loads(header.decode("utf-8"))
@@ -67,9 +74,21 @@ def load_checkpoint(state_template, filename: str,
 
 def resume_from(state_template, filename: str) -> Tuple[Any, int]:
     """Restore params+opt states and return (state, start_epoch)
-    (checkpoint.py:138-168)."""
+    (checkpoint.py:138-168). Legacy V1-header files carry no readable meta;
+    recover the epoch position from the restored step counter instead of
+    silently restarting the LR schedule at 0."""
     state, meta = load_checkpoint(state_template, filename)
-    return state, int(meta.get("epoch", 0))
+    epoch = meta.get("epoch")
+    if epoch is None:
+        import logging
+
+        step = int(getattr(state, "step", 0) or 0)
+        logging.getLogger(__name__).warning(
+            "checkpoint %s has no epoch metadata; resuming with "
+            "start_epoch=0 (restored optimizer step=%d keeps the LR "
+            "schedule position)", filename, step)
+        epoch = 0
+    return state, int(epoch)
 
 
 # ---------------------------------------------------------------- orbax ----

@@ -216,13 +216,14 @@ def _dropout_ellipses(mask: np.ndarray, rng: np.random.Generator,
     yr = rng.gamma(noise_params["ellipse_gamma_shape"],
                    noise_params["ellipse_gamma_scale"], size=n)
     angles = rng.integers(0, 360, size=n)
+    # paint is constant, so drawing straight into the output is identical
+    # to the reference's temp-mask + scatter (and loader-hot-path cheap)
+    out = np.ascontiguousarray(out)
     for i in range(n):
-        tmp = np.zeros_like(out)
-        cv2.ellipse(tmp, tuple(centers[i][::-1].astype(int)),
+        cv2.ellipse(out, tuple(centers[i][::-1].astype(int)),
                     (int(round(xr[i])), int(round(yr[i]))),
                     angle=int(angles[i]), startAngle=0, endAngle=360,
-                    color=1, thickness=-1)
-        out[tmp == 1] = paint
+                    color=int(paint), thickness=-1)
     return out
 
 

@@ -54,10 +54,17 @@ def convert_convtranspose_weight(arr: np.ndarray) -> np.ndarray:
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth file to numpy without CUDA. Accepts either a raw state
-    dict or the reference's multi-net schema (``{k}_state_dict``)."""
+    dict or the reference's multi-net schema (``{k}_state_dict``).
+
+    ``weights_only=True``: these are tensor-only state dicts and full
+    unpickling of downloaded checkpoints is arbitrary code execution —
+    the same threat class utils/checkpoint.py's JSON meta header avoids."""
     import torch
 
-    obj = torch.load(path, map_location="cpu")
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:  # torch too old for weights_only
+        obj = torch.load(path, map_location="cpu")
     if isinstance(obj, dict) and any(k.endswith("_state_dict") for k in obj):
         out = {}
         for k, v in obj.items():

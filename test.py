@@ -85,14 +85,15 @@ def main(argv=None):
         from rdfc_gan_tpu.ops.nlspn_guard import (escalate_nlspn_cfg,
                                                   probe_max_offset)
 
+        g_node = cfg.model.get("G_A2B") or cfg.model.get("G")
         max_off = probe_max_offset(engine, state, sample)
-        g_cfg, changed = escalate_nlspn_cfg(
-            dict(cfg.model.G_A2B.to_dict()), max_off)
+        g_cfg, changed = (escalate_nlspn_cfg(dict(g_node.to_dict()), max_off)
+                          if g_node is not None else ({}, False))
         if changed:
-            logger.log(f"NLSPN max|offset|={max_off:.2f}: rebuilding G_A2B "
-                       f"with {g_cfg.get('nlspn_impl', 'auto')!r} impl, "
-                       f"R={g_cfg.get('nlspn_offset_radius')}")
-            cfg.model.G_A2B.merge(g_cfg)
+            logger.log(f"NLSPN max|offset|={max_off:.2f}: rebuilding the "
+                       f"generator with {g_cfg.get('nlspn_impl', 'auto')!r} "
+                       f"impl, R={g_cfg.get('nlspn_offset_radius')}")
+            g_node.merge(g_cfg)
             engine = build_engine(cfg, is_train=False)
 
     if cfg.cal_fps:

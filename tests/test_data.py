@@ -211,14 +211,14 @@ def test_multiscale_label_and_formatters():
     assert sample["rgb"].dtype == np.float32
 
     sample = MultiScaleLabel()(sample, rng)
-    assert set(sample["label_down"]) == {8, 16, 32}
-    for rate, ld in sample["label_down"].items():
+    for rate in (8, 16, 32):
+        ld = sample[f"label_down_{rate}"]
         assert ld.shape == (64 // rate, 96 // rate)
         # nearest-neighbor: every downsampled value exists in the source
         assert np.isin(ld, labels).all()
     # rate 32 oracle: cv2 INTER_NEAREST picks source pixel floor(i*scale)
     want = sample["labels"][::32, ::32][:2, :3]
-    np.testing.assert_array_equal(sample["label_down"][32], want)
+    np.testing.assert_array_equal(sample["label_down_32"], want)
 
     sample = EnsureChannels(["labels"])(sample, rng)
     assert sample["labels"].shape == (64, 96, 1)
@@ -306,7 +306,7 @@ def test_multiscale_label_feeds_pyramid_supervision():
     total = softmax_cross_entropy_loss(out, jnp.asarray(
         sample["labels"])[None])
     for side, rate in ((s8, 8), (s16, 16), (s32, 32)):
-        lbl = jnp.asarray(sample["label_down"][rate])[None]
+        lbl = jnp.asarray(sample[f"label_down_{rate}"])[None]
         assert side.shape[1:3] == lbl.shape[1:3], rate
         total = total + softmax_cross_entropy_loss(side, lbl)
     assert np.isfinite(float(total))

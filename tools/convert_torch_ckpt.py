@@ -77,7 +77,7 @@ def convert_resnet_generator(sd: dict, n_blocks: int = 6,
     Conv_3.
     """
     from rdfc_gan_tpu.utils.torch_convert import (
-        convert_convtranspose_weight, walk_state_dict)
+        walk_state_dict)
 
     groups = walk_state_dict(sd)
     # classify by Sequential INDEX against the ResnetBlock span — robust to
@@ -111,17 +111,8 @@ def convert_resnet_generator(sd: dict, n_blocks: int = 6,
     after = [g for i, g in plain if i > last_blk]
     ups, final = after[:-1], after[-1]
 
-    def conv_entry(g):
-        e = {"kernel": g["weight"].transpose(2, 3, 1, 0)}
-        if "bias" in g:
-            e["bias"] = g["bias"]
-        return e
-
-    def tconv_entry(g):
-        e = {"kernel": convert_convtranspose_weight(g["weight"]).copy()}
-        if "bias" in g:
-            e["bias"] = g["bias"]
-        return e
+    from rdfc_gan_tpu.utils.torch_convert import (_conv_entry as conv_entry,
+                                                  _tconv_entry as tconv_entry)
 
     params = {}
     for ci, g in enumerate(stem_downs):
