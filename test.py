@@ -69,8 +69,13 @@ def main(argv=None):
     val_ds = build_dataset(dict(type=cfg.dataset, mode="val", **ds_kwargs))
     # reference test.py:66 asserts batch_size == 1; batched eval is allowed
     # here (static shapes make it free), but default mirrors the contract.
+    # shard the eval batch only when it divides the mesh (the reference
+    # asserts batch_size==1 on one GPU, test.py:66; here any batch works —
+    # non-divisible batches just stay host-placed / device-0)
+    shardable = (mesh.devices.size > 1
+                 and cfg.batch_size % mesh.devices.size == 0)
     loader = DataLoader(val_ds, cfg.batch_size, shuffle=False, drop_last=False,
-                        sharding=sh if mesh.devices.size > 1 else None,
+                        sharding=sh if shardable else None,
                         with_indices=True)
 
     engine = build_engine(cfg, is_train=False)
