@@ -72,6 +72,13 @@ class RDFCGAN(BaseEngine):
                 stem_features=cfg.model.get("Label_G", {}).get(
                     "stem_features", 64)),
         }
+        # NLSPN's shift-mask stack ((2R+4)^2 planes at full res) makes
+        # G_A2B's live activations exceed HBM at bs8 unless it is
+        # rematerialized — widen the selective-remat set automatically
+        if (cfg.model.G_A2B.get("use_nlspn_refine", False)
+                and cfg.get("remat") == "selective"
+                and "G_A2B" not in cfg.get("remat_nets", [])):
+            cfg.merge(dict(remat_nets=list(cfg.remat_nets) + ["G_A2B"]))
         self.criterion_gan = GANLoss(cfg.gan_loss_type)
         if is_train:
             self.optimizers = {

@@ -214,8 +214,13 @@ class RDFGenerator(nn.Module):
 
         if self.use_nlspn_refine:
             raw = self.conv_offset_aff(guide)
+            # stencil/Pallas dispatch also samples confidence gather-free
+            # (clamped to the same radius the propagation clamps to); the
+            # 'gather' impl stays reference-exact end to end
             offsets, aff = nlspn_offset_affinity(
-                raw, confidence, self.aff_scale_const, self.nlspn_spec)
+                raw, confidence, self.aff_scale_const, self.nlspn_spec,
+                conf_sample_radius=(None if self.nlspn_impl == "gather"
+                                    else self.nlspn_offset_radius))
             # telemetry: the stencil path is exact only while |offset| <=
             # nlspn_offset_radius — expose the batch max so engines can log
             # it and eval drivers can escalate R / fall back to gather

@@ -50,11 +50,49 @@ class NLSPNParamsSpec(NamedTuple):
         return self.prop_kernel * self.prop_kernel - 1
 
 
+def _conf_sample_shifts(confidence: jnp.ndarray, nb_offsets: jnp.ndarray,
+                        R: int) -> jnp.ndarray:
+    """Sample the confidence map at per-tap fractional offsets WITHOUT a
+    gather: offsets are clamped to [-R, R] so every bilinear corner is an
+    integer shift in [-R, R+1]^2, and the sample becomes shifted-image
+    multiply-adds. The gather's autodiff transpose is a scatter-add — on
+    TPU that serialized backward dominated the whole NLSPN train step
+    (docs/PERF_NOTES.md round-2); shift transposes are pads/slices.
+
+    confidence: (B,H,W,1); nb_offsets: (B,H,W,num,2). Returns (B,H,W,num).
+    Exact vs the gather path whenever |offset| <= R (the stencil-mode
+    exactness condition); offsets are stop-gradient like the reference's
+    detached offset_tmp (nlspn_model.py:109)."""
+    B, H, W, num, _ = nb_offsets.shape
+    q = jnp.clip(jax.lax.stop_gradient(nb_offsets), -R, R)
+    q0 = jnp.floor(q)
+    fy = (q[..., 0] - q0[..., 0]).astype(confidence.dtype)
+    fx = (q[..., 1] - q0[..., 1]).astype(confidence.dtype)
+    q0y = q0[..., 0].astype(jnp.int32)
+    q0x = q0[..., 1].astype(jnp.int32)
+    pad = R + 1
+    cp = jnp.pad(confidence[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+    corners = ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
+               (1, 0, fy * (1 - fx)), (1, 1, fy * fx))
+    out = jnp.zeros((B, H, W, num), confidence.dtype)
+    for sy in range(-R, R + 2):
+        for sx in range(-R, R + 2):
+            w = None
+            for dy, dx, wgt in corners:
+                hit = ((q0y == sy - dy) & (q0x == sx - dx))
+                term = jnp.where(hit, wgt, 0)
+                w = term if w is None else w + term
+            sl = cp[:, pad + sy: pad + sy + H, pad + sx: pad + sx + W]
+            out = out + w * sl[..., None]
+    return out
+
+
 def nlspn_offset_affinity(
     offset_aff_raw: jnp.ndarray,
     confidence: Optional[jnp.ndarray],
     aff_scale_const: jnp.ndarray,
     spec: NLSPNParamsSpec,
+    conf_sample_radius: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build full (K = k*k)-tap offsets and normalized affinities.
 
@@ -62,6 +100,9 @@ def nlspn_offset_affinity(
       offset_aff_raw: (B, H, W, 3*num) guidance-conv output.
       confidence: (B, H, W, 1) or None.
       aff_scale_const: scalar parameter (learnable under TGASS).
+      conf_sample_radius: when set (the stencil/Pallas dispatch path),
+        confidence is sampled via the gather-free shift formulation with
+        offsets clamped to this radius; None = reference-exact gather.
     Returns:
       offsets: (B, H, W, K, 2) with zero at the center tap.
       aff:     (B, H, W, K) with aff_ref = 1 - sum(aff_neighbors) at center.
@@ -90,12 +131,18 @@ def nlspn_offset_affinity(
         # 1x1-kernel deformable gather of the confidence map at each
         # neighbor's *learned* offset (no kernel-grid displacement — parity
         # with the reference's 1x1 w_conf deform conv, nlspn_model.py:96-119).
-        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None, :, :, None]
-        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)[None, :, :, None]
-        off = jax.lax.stop_gradient(nb_offsets)
-        conf = bilinear_sample(
-            confidence, yy + off[..., 0], xx + off[..., 1]
-        )[..., 0]  # (B,H,W,num)
+        if conf_sample_radius is not None:
+            conf = _conf_sample_shifts(confidence, nb_offsets,
+                                       conf_sample_radius)
+        else:
+            yy = jax.lax.broadcasted_iota(
+                jnp.float32, (H, W), 0)[None, :, :, None]
+            xx = jax.lax.broadcasted_iota(
+                jnp.float32, (H, W), 1)[None, :, :, None]
+            off = jax.lax.stop_gradient(nb_offsets)
+            conf = bilinear_sample(
+                confidence, yy + off[..., 0], xx + off[..., 1]
+            )[..., 0]  # (B,H,W,num)
         aff = aff * conf
 
     # abs-sum normalization with >=1 clamp (nlspn_model.py:121-131)

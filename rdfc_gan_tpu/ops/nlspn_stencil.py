@@ -27,6 +27,7 @@ out-of-image taps, we additionally bound the reach).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -89,36 +90,131 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
     return M.reshape(B, S, S, H, W)
 
 
+def _apply_stencil(x: jnp.ndarray, M: jnp.ndarray, lo: int, S: int,
+                   pad: int) -> jnp.ndarray:
+    """One propagation step: sum_s M_s * shift_s(x). x: (B,H,W)."""
+    B, H, W = x.shape
+    fp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+    acc = jnp.zeros_like(x)
+    for iy in range(S):
+        for ix in range(S):
+            dy, dx = lo + iy, lo + ix
+            acc = acc + M[:, iy, ix] * fp[:, pad + dy: pad + dy + H,
+                                          pad + dx: pad + dx + W]
+    return acc
+
+
+def _apply_stencil_T(g: jnp.ndarray, M: jnp.ndarray, lo: int, S: int,
+                     pad: int) -> jnp.ndarray:
+    """Transpose of _apply_stencil w.r.t. x: sum_s shift_{-s}(M_s * g)."""
+    B, H, W = g.shape
+    acc = jnp.zeros((B, H, W), g.dtype)
+    for iy in range(S):
+        for ix in range(S):
+            dy, dx = lo + iy, lo + ix
+            mg = jnp.pad(M[:, iy, ix] * g,
+                         ((0, 0), (pad, pad), (pad, pad)))
+            acc = acc + mg[:, pad - dy: pad - dy + H,
+                           pad - dx: pad - dx + W]
+    return acc
+
+
+def _scan_forward(feat0, M, prop_time, lo, S, pad, fixv, fixm):
+    """Returns (out, X) with X = per-step inputs AFTER the preserve
+    substitution, stacked (T, B, H, W) — the residuals the hand-written
+    backward needs (39 MB at bs8/224x304/T18, vs the GBs of padded
+    mask-gradient temporaries XLA's scan-VJP materializes)."""
+
+    def step(feat, _):
+        x = jnp.where(fixm, fixv, feat) if fixm is not None else feat
+        return _apply_stencil(x, M, lo, S, pad), x
+
+    return jax.lax.scan(step, feat0, None, length=prop_time)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 5))
 def stencil_propagate(feat_init: jnp.ndarray, M: jnp.ndarray, prop_time: int,
                       R: int = 2, feat_fix: Optional[jnp.ndarray] = None,
                       preserve_input: bool = False) -> jnp.ndarray:
-    """Pure-XLA stencil propagation. feat_init: (B,H,W,1); M: (B,S,S,H,W)."""
-    B, H, W, _ = feat_init.shape
-    lo, hi = shift_window(R)
-    S = hi - lo + 1
-    pad = max(-lo, hi)
+    """Pure-XLA stencil propagation. feat_init: (B,H,W,1); M: (B,S,S,H,W).
 
+    Carries a hand-written O(T) custom VJP: XLA's generic scan-VJP
+    materializes a padded (B,S,S,H,W) mask-gradient temporary per step
+    (~170 MB each at bs8), which under remat made the NLSPN backward the
+    dominant cost of the whole train step. The custom backward runs one
+    reverse scan carrying a single accumulated dM."""
+    lo, hi = shift_window(R)
+    S, pad = hi - lo + 1, max(-lo, hi)
     feat0 = feat_init[..., 0].astype(jnp.float32)
-    fixm = fixv = None
+    fixv = fixm = None
     if preserve_input:
         assert feat_fix is not None
         fixv = feat_fix[..., 0].astype(jnp.float32)
         fixm = jax.lax.stop_gradient(fixv > 0.0)
+    out, _ = _scan_forward(feat0, M.astype(jnp.float32), prop_time, lo, S,
+                           pad, fixv, fixm)
+    return out[..., None].astype(feat_init.dtype)
 
-    def step(feat, _):
-        if fixm is not None:
-            feat = jnp.where(fixm, fixv, feat)
-        fp = jnp.pad(feat, ((0, 0), (pad, pad), (pad, pad)))
-        acc = jnp.zeros_like(feat)
+
+def _prop_fwd(feat_init, M, prop_time, R, feat_fix, preserve_input):
+    lo, hi = shift_window(R)
+    S, pad = hi - lo + 1, max(-lo, hi)
+    feat0 = feat_init[..., 0].astype(jnp.float32)
+    fixv = fixm = None
+    if preserve_input:
+        assert feat_fix is not None
+        fixv = feat_fix[..., 0].astype(jnp.float32)
+        fixm = jax.lax.stop_gradient(fixv > 0.0)
+    M32 = M.astype(jnp.float32)
+    out, X = _scan_forward(feat0, M32, prop_time, lo, S, pad, fixv, fixm)
+    return (out[..., None].astype(feat_init.dtype),
+            (X, M, fixm, feat_fix))
+
+
+def _prop_bwd(prop_time, R, preserve_input, res, g):
+    X, M, fixm, feat_fix = res
+    M32 = M.astype(jnp.float32)
+    lo, hi = shift_window(R)
+    S, pad = hi - lo + 1, max(-lo, hi)
+    B, H, W = X.shape[1:]
+    # the forward output is cast to feat_init.dtype, so g carries it
+    in_dtype = g.dtype
+    g0 = g[..., 0].astype(jnp.float32)
+
+    def bstep(carry, x_t):
+        gg, dM, dfix = carry
+        # dM_s[t] = g * shift_s(x_t)
+        xp = jnp.pad(x_t, ((0, 0), (pad, pad), (pad, pad)))
+        planes = []
         for iy in range(S):
+            row = []
             for ix in range(S):
                 dy, dx = lo + iy, lo + ix
-                sl = fp[:, pad + dy: pad + dy + H, pad + dx: pad + dx + W]
-                acc = acc + M[:, iy, ix] * sl
-        return acc, None
+                row.append(gg * xp[:, pad + dy: pad + dy + H,
+                                   pad + dx: pad + dx + W])
+            planes.append(jnp.stack(row, axis=1))
+        dM = dM + jnp.stack(planes, axis=1)  # (B,S,S,H,W)
+        dx = _apply_stencil_T(gg, M32, lo, S, pad)
+        if fixm is not None:
+            dfix = dfix + jnp.where(fixm, dx, 0.0)
+            dx = jnp.where(fixm, 0.0, dx)
+        return (dx, dM, dfix), None
 
-    out, _ = jax.lax.scan(step, feat0, None, length=prop_time)
-    return out[..., None].astype(feat_init.dtype)
+    dM0 = jnp.zeros((B, S, S, H, W), jnp.float32)
+    dfix0 = jnp.zeros((B, H, W), jnp.float32)
+    (dfeat0, dM, dfix), _ = jax.lax.scan(bstep, (g0, dM0, dfix0), X,
+                                         reverse=True)
+    dfeat = dfeat0[..., None].astype(in_dtype)
+    if feat_fix is None:
+        dfix_out = None
+    elif fixm is not None:
+        dfix_out = dfix[..., None].astype(feat_fix.dtype)
+    else:  # feat_fix passed but unused (preserve_input=False)
+        dfix_out = jnp.zeros_like(feat_fix)
+    return dfeat, dM.astype(M.dtype), dfix_out
+
+
+stencil_propagate.defvjp(_prop_fwd, _prop_bwd)
 
 
 def nlspn_refine_stencil(pred_init, offset_aff_raw, confidence,

@@ -101,3 +101,81 @@ def test_pallas_interpret_matches_xla(rng):
     # bf16 masks inside the kernel compound over iterations
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=2e-2)
+
+
+def test_stencil_custom_vjp_matches_autodiff(rng):
+    """The hand-written O(T) backward of stencil_propagate must match
+    jax.grad of a plain (non-custom-vjp) re-implementation, both with and
+    without preserve_input."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdfc_gan_tpu.ops.nlspn_stencil import (_apply_stencil,
+                                                shift_window,
+                                                stencil_propagate)
+
+    B, H, W, R, T = 2, 8, 9, 2, 4
+    lo, hi = shift_window(R)
+    S, pad = hi - lo + 1, max(-lo, hi)
+    feat = jnp.asarray(rng.normal(size=(B, H, W, 1)), jnp.float32)
+    M = jnp.asarray(rng.normal(size=(B, S, S, H, W)) * 0.2, jnp.float32)
+    fix = jnp.asarray(np.abs(rng.normal(size=(B, H, W, 1))) *
+                      (rng.random((B, H, W, 1)) > 0.4), jnp.float32)
+
+    def plain(feat_init, M_, fix_, preserve):
+        f = feat_init[..., 0]
+        if preserve:
+            fm = jax.lax.stop_gradient(fix_[..., 0] > 0)
+        for _ in range(T):
+            if preserve:
+                f = jnp.where(fm, fix_[..., 0], f)
+            f = _apply_stencil(f, M_, lo, S, pad)
+        return f[..., None]
+
+    for preserve in (False, True):
+        def loss_custom(a, m, fx):
+            return jnp.sum(stencil_propagate(a, m, T, R, feat_fix=fx,
+                                             preserve_input=preserve) ** 2)
+
+        def loss_plain(a, m, fx):
+            return jnp.sum(plain(a, m, fx, preserve) ** 2)
+
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(feat, M, fix)
+        gp = jax.grad(loss_plain, argnums=(0, 1, 2))(feat, M, fix)
+        for c, p, name in zip(gc, gp, ("feat", "M", "fix")):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(p), rtol=1e-3, atol=1e-4,
+                err_msg=f"{name} preserve={preserve}")
+
+
+def test_conf_sample_shifts_matches_gather(rng):
+    """The gather-free confidence sampler must equal the bilinear gather for
+    offsets within the radius, and equal the CLAMPED gather beyond it."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdfc_gan_tpu.ops.deform import bilinear_sample
+    from rdfc_gan_tpu.ops.nlspn import _conf_sample_shifts
+
+    B, H, W, num, R = 2, 10, 12, 8, 2
+    conf = jnp.asarray(rng.random((B, H, W, 1)), jnp.float32)
+    for scale, note in ((1.5, "within"), (4.0, "beyond")):
+        off = jnp.asarray(rng.uniform(-scale, scale, (B, H, W, num, 2)),
+                          jnp.float32)
+        got = _conf_sample_shifts(conf, off, R)
+        offc = jnp.clip(off, -R, R)
+        yy = jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
+        xx = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+        want = bilinear_sample(conf, yy + offc[..., 0],
+                               xx + offc[..., 1])[..., 0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6, err_msg=note)
+    # gradient w.r.t. confidence exists and matches the gather's
+    off = jnp.asarray(rng.uniform(-1.5, 1.5, (B, H, W, num, 2)), jnp.float32)
+    g1 = jax.grad(lambda c: jnp.sum(_conf_sample_shifts(c, off, R) ** 2))(conf)
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+    g2 = jax.grad(lambda c: jnp.sum(bilinear_sample(
+        c, yy + off[..., 0], xx + off[..., 1])[..., 0] ** 2))(conf)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
