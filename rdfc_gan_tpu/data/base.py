@@ -54,3 +54,35 @@ class BaseDataset:
         from ..metrics import RDFGANMetric
 
         return RDFGANMetric().evaluate_all(results, logger)
+
+    def show(self, samples, iters: int = 0, save_dir: str = ".",
+             max_show_num: int = 6):
+        """Colormapped per-sample debug dumps (lib/datasets/base.py:103-163):
+        un-normalize with the dataset stats and write
+        ``{i}_{rgb,raw_depth,pred_depth,gt_depth,pred_gray}.png`` under
+        ``save_dir/{iters:010d}/``. NHWC numpy arrays in, uint8 pngs out
+        (cv2's plasma colormap stands in for matplotlib's)."""
+        import os
+
+        import cv2
+
+        out = os.path.join(save_dir, f"{int(iters):010d}")
+        os.makedirs(out, exist_ok=True)
+        rgb = np.asarray(samples["rgb"], np.float32)
+        rgb = (rgb * self.rgb_std + self.rgb_mean) * 255.0
+        deps = {}
+        for k in ("raw_depth", "pred_depth", "gt_depth"):
+            d = np.asarray(samples[k], np.float32)
+            deps[k] = np.clip(
+                (d * self.depth_std + self.depth_mean) / self.max_depth,
+                0.0, 1.0)
+        for i in range(min(rgb.shape[0], max_show_num)):
+            cv2.imwrite(os.path.join(out, f"{i}_rgb.png"),
+                        np.clip(rgb[i], 0, 255).astype(np.uint8)[..., ::-1])
+            for k in ("raw_depth", "pred_depth", "gt_depth"):
+                g8 = (255.0 * deps[k][i, ..., 0]).astype(np.uint8)
+                cv2.imwrite(os.path.join(out, f"{i}_{k}.png"),
+                            cv2.applyColorMap(g8, cv2.COLORMAP_PLASMA))
+            g8 = (255.0 * deps["pred_depth"][i, ..., 0]).astype(np.uint8)
+            cv2.imwrite(os.path.join(out, f"{i}_pred_gray.png"), g8)
+        return out

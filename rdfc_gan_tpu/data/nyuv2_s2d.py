@@ -152,5 +152,27 @@ class NYUV2S2DDataset(BaseDataset):
         sample["gt_depth_origin"] = depth.astype(np.float32)
         return sample
 
+    def stat_depth(self, log=print):
+        """Corpus depth statistics sweep (nyuv2_sparse_to_dense_dataset.py:
+        401-438): min/max over all frames plus per-frame-averaged mean/std of
+        the raw h5 depth maps. Returns (min, max, mean, std)."""
+        lo, hi = np.inf, -np.inf
+        mean = std = 0.0
+        for i in range(len(self)):
+            _, depth = self._load(i)
+            lo = min(lo, float(depth.min()))
+            hi = max(hi, float(depth.max()))
+            mean += float(depth.mean())
+            std += float(depth.std())
+            if log is print:
+                print(f"\r{i + 1}/{len(self)}", end="")
+        mean /= max(len(self), 1)
+        std /= max(len(self), 1)
+        if log is print:
+            print()
+        log(f"min depth: {lo}, max depth: {hi}")
+        log(f"mean: [{mean}], std: [{std}]")
+        return lo, hi, mean, std
+
 
 DATASETS.register("nyuv2_s2d")(NYUV2S2DDataset)

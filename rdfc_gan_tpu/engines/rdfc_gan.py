@@ -383,8 +383,13 @@ class RDFCGAN(BaseEngine):
         ret, _ = self._apply(self.modules["G_A2B"], params["G_A2B"],
                              batch_stats["G_A2B"], rgb, raw_depth, pred_normal,
                              train=False)
-        return dict(pred_depth=ret["pred_depth"], pred_normal=pred_normal,
-                    pred_label=lbl)
+        out = dict(pred_depth=ret["pred_depth"], pred_normal=pred_normal,
+                   pred_label=lbl)
+        if "nlspn_max_offset" in ret:
+            # stencil-exactness telemetry on the REAL inference path
+            # (predicted normals feed G_A2B) — ops/nlspn_guard.probe_max_offset
+            out["nlspn_max_offset"] = ret["nlspn_max_offset"]
+        return out
 
     def forward_test(self, state: GANTrainState, **kwargs):
         return self._forward_test(state.params, state.batch_stats,

@@ -5,7 +5,7 @@ per-process-sharded DataLoader (DistributedSampler analog, helper.py:217-230),
 one global-batch psum, and a process_allgather eval merge. Prints one JSON
 line with everything the parent asserts on.
 
-Usage: python multiprocess_worker.py <coordinator> <num_procs> <pid>
+Usage: python multiprocess_worker.py <coordinator> <num_procs> <pid> [ds_len]
 """
 
 import json
@@ -20,6 +20,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+ds_len = int(sys.argv[4]) if len(sys.argv) > 4 else 10
 jax.distributed.initialize(coordinator_address=coord, num_processes=nproc,
                            process_id=pid)
 
@@ -34,10 +35,10 @@ from rdfc_gan_tpu.parallel import data_sharding, make_mesh  # noqa: E402
 
 
 class TinyDataset:
-    """10 rows; value = global index (so shard contents are checkable)."""
+    """ds_len rows; value = global index (so shard contents are checkable)."""
 
     def __len__(self):
-        return 10
+        return ds_len
 
     def __getitem__(self, i):
         return {"x": np.full((2, 2, 1), float(i), np.float32)}

@@ -75,6 +75,68 @@ def test_stencil_exact_within_radius_divergent_beyond(rng):
     assert np.abs(got_r2 - want).max() > 1e-3
 
 
+def test_probe_uses_forward_test_path(rng):
+    """VERDICT r2 weak #6: probe_max_offset must measure the REAL inference
+    path — engine-predicted normals feeding G_A2B — not RGB-as-normals. With
+    a non-zero offset conv the two input distributions give different
+    max|offset| values (the probe input changes the verdict), and the probe
+    must match forward_test's telemetry bit-for-bit."""
+    from rdfc_gan_tpu.config import default_config
+    from rdfc_gan_tpu.data import DataLoader, SyntheticDataset
+    from rdfc_gan_tpu.engines import build_engine
+    from rdfc_gan_tpu.ops.nlspn_guard import probe_max_offset
+
+    enc, dec = list(ENC), list(DEC)
+    cfg = default_config()
+    cfg.merge(dict(out_height=16, out_width=16, num_classes=5, batch_size=2,
+                   donate=False))
+    cfg.merge({"model": {
+        "type": "RDFCGAN",
+        "G_A2B": {"type": "RDFGenerator", "semantic_channels_in": 3,
+                  "rgb_channels_encoder": enc, "depth_channels_encoder": enc,
+                  "rgb_channels_decoder": dec, "depth_channels_decoder": dec,
+                  "use_nlspn_refine": True, "nlspn_configs": dict(NLSPN_CFG),
+                  "nlspn_impl": "gather"},
+        "G_B2A": {"type": "ResnetGenerator", "input_channels": 1,
+                  "output_channels": 3, "ngf": 8, "n_blocks": 2,
+                  "norm_layer": "IN2d"},
+        "Normal_G": {"width": 0.35, "depth": 0.3},
+        "Label_G": {"backbone_depth": 18},
+        "D_A": {"type": "PatchGANDiscriminator", "in_channels": 1,
+                "out_channels": [8, 8, 1], "kernel_size": [4, 4, 4],
+                "stride": [2, 2, 1], "padding": [1, 1, 1],
+                "activation": "LeakyReLU"},
+        "D_B": {"type": "PatchGANDiscriminator", "in_channels": 3,
+                "out_channels": [8, 8, 1], "kernel_size": [4, 4, 4],
+                "stride": [2, 2, 1], "padding": [1, 1, 1],
+                "activation": "LeakyReLU"},
+    }})
+    eng = build_engine(cfg, is_train=False)
+    ds = SyntheticDataset(length=2, height=16, width=16, num_classes=5)
+    batch = {k: jnp.asarray(v)
+             for k, v in next(iter(DataLoader(ds, 2, shuffle=False))).items()}
+    state = eng.init_state(jax.random.PRNGKey(0), batch)
+    # non-zero offset conv => offsets depend on the net input
+    oa = state.params["G_A2B"]["conv_offset_aff"]
+    oa["kernel"] = 0.5 * jax.random.normal(jax.random.PRNGKey(1),
+                                           oa["kernel"].shape)
+
+    probe = probe_max_offset(eng, state, batch)
+    want = eng.forward_test(state, rgb=batch["rgb"],
+                            raw_depth=batch["raw_depth"])
+    assert probe == float(want["nlspn_max_offset"])  # bit-for-bit
+
+    # the pre-fix behavior (RGB fed as the normal input) measures a
+    # DIFFERENT activation distribution => different verdict input
+    variables = {"params": state.params["G_A2B"]}
+    if state.batch_stats.get("G_A2B"):
+        variables["batch_stats"] = state.batch_stats["G_A2B"]
+    rgb_fed = eng.modules["G_A2B"].apply(
+        variables, batch["rgb"], batch["raw_depth"], batch["rgb"],
+        train=False)
+    assert float(rgb_fed["nlspn_max_offset"]) != probe
+
+
 def test_escalation_policy():
     base = dict(use_nlspn_refine=True, nlspn_impl="auto",
                 nlspn_offset_radius=2)

@@ -178,6 +178,39 @@ def test_nyuv2_s2d_hdf5(s2d_root):
     assert st["gt_depth_origin"].shape == (228, 304)
 
 
+def test_s2d_stat_depth(s2d_root):
+    """stat_depth parity (nyuv2_sparse_to_dense_dataset.py:401-438): corpus
+    min/max and per-frame-averaged mean/std of the raw h5 depth maps."""
+    from rdfc_gan_tpu.data.nyuv2_s2d import NYUV2S2DDataset
+
+    ds = NYUV2S2DDataset(s2d_root, mode="train")
+    lines = []
+    lo, hi, mean, std = ds.stat_depth(log=lines.append)
+    assert 0.4 < lo < hi < 9.1
+    assert 0.5 < mean < 9.0 and std > 0
+    assert any("min depth" in ln for ln in lines)
+
+
+def test_base_show_dumps(nyuv2_root, tmp_path):
+    """BaseDataset.show parity (lib/datasets/base.py:103-163): colormapped
+    uint8 pngs per sample under save_dir/{iters:010d}/."""
+    import cv2
+
+    from rdfc_gan_tpu.data.nyuv2 import NYUV21400Dataset
+
+    ds = NYUV21400Dataset(nyuv2_root, mode="val")
+    s = ds[0]
+    samples = {k: np.stack([s[k]]) for k in ("rgb", "raw_depth", "gt_depth")}
+    samples["pred_depth"] = samples["gt_depth"] + 0.01
+    out = ds.show(samples, iters=42, save_dir=str(tmp_path))
+    assert out.endswith("0000000042")
+    for name in ("rgb", "raw_depth", "pred_depth", "gt_depth", "pred_gray"):
+        p = os.path.join(out, f"0_{name}.png")
+        assert os.path.exists(p), name
+        img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        assert img is not None and img.dtype == np.uint8
+
+
 def test_nyuv2_r2r_hdf5(s2d_root):
     from rdfc_gan_tpu.data.nyuv2_r2r import NYUV2R2RDataset
 

@@ -79,6 +79,9 @@ def main(argv=None):
                           steps_per_epoch=len(train_loader))
 
     sample_batch = next(iter(train_loader))
+    # fixed train + test vis batches (RDFC-GAN/train.py:53-77): sample grids
+    # are dumped for BOTH splits every sample_interval
+    vis_batches = {"train": sample_batch, "test": next(iter(val_loader))}
     state = engine.init_state(root_key, sample_batch)
     state = replicate_state(state, mesh)
 
@@ -132,8 +135,10 @@ def main(argv=None):
                 logger.add_scalars(m, it)
             if (it % cfg.sample_interval == 0 and jax.process_index() == 0
                     and hasattr(engine, "save_samples")):
-                engine.save_samples(state, sample_batch,
-                                    os.path.join(cfg.work_dir, "samples"), it)
+                for split, vb in vis_batches.items():
+                    engine.save_samples(state, vb,
+                                        os.path.join(cfg.work_dir, "samples"),
+                                        it, prefix=f"sample-{split}")
 
         if (epoch + 1) % cfg.save_interval == 0:
             save_checkpoint(state, os.path.join(cfg.work_dir,
