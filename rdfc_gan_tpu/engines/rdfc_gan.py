@@ -72,10 +72,13 @@ class RDFCGAN(BaseEngine):
                 stem_features=cfg.model.get("Label_G", {}).get(
                     "stem_features", 64)),
         }
-        # NLSPN's shift-mask stack ((2R+4)^2 planes at full res) makes
-        # G_A2B's live activations exceed HBM at bs8 unless it is
-        # rematerialized — widen the selective-remat set automatically
+        # The gather-impl NLSPN keeps big bilinear-gather intermediates live;
+        # widen the selective-remat set to all of G_A2B for it. The stencil/
+        # Pallas impls no longer need this: the generator remats exactly the
+        # mask-build + propagation region itself (rdf_generator._nlspn_block,
+        # VERDICT r2 item #3), so G_A2B's main activations stay live.
         if (cfg.model.G_A2B.get("use_nlspn_refine", False)
+                and cfg.model.G_A2B.get("nlspn_impl", "auto") == "gather"
                 and cfg.get("remat") == "selective"
                 and "G_A2B" not in cfg.get("remat_nets", [])):
             cfg.merge(dict(remat_nets=list(cfg.remat_nets) + ["G_A2B"]))

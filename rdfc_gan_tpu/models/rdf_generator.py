@@ -152,6 +152,44 @@ class RDFGenerator(nn.Module):
             concat_skip if self.depth_skip_connection_type == "concat" else add_skip
         )
 
+    def _nlspn_block(self, guide, confidence, pred_init, origin_depth):
+        """Offset/affinity conv -> shift-mask fold -> propagation. Factored
+        out so train mode can jax.checkpoint exactly this region (the mask
+        stack dominates NLSPN's activation memory)."""
+        raw = self.conv_offset_aff(guide)
+        # stencil/Pallas dispatch also samples confidence gather-free
+        # (clamped to the same radius the propagation clamps to); the
+        # 'gather' impl stays reference-exact end to end
+        offsets, aff = nlspn_offset_affinity(
+            raw, confidence, self.aff_scale_const, self.nlspn_spec,
+            conf_sample_radius=(None if self.nlspn_impl == "gather"
+                                else self.nlspn_offset_radius))
+        # telemetry: the stencil path is exact only while |offset| <=
+        # nlspn_offset_radius — expose the batch max so engines can log
+        # it and eval drivers can escalate R / fall back to gather
+        # (ops/nlspn_guard.py)
+        nlspn_max_offset = jax.lax.stop_gradient(
+            jnp.max(jnp.abs(offsets)).astype(jnp.float32))
+        if self.nlspn_impl == "gather":
+            depth_map_2 = nlspn_propagate(
+                pred_init, offsets, aff, self.nlspn_spec,
+                feat_fix=origin_depth)
+        else:
+            from ..ops.nlspn_stencil import build_shift_masks
+            from ..ops.pallas.nlspn_kernel import propagate_auto
+
+            M = build_shift_masks(offsets, aff,
+                                  self.nlspn_spec.prop_kernel,
+                                  self.nlspn_offset_radius)
+            depth_map_2 = propagate_auto(
+                pred_init, M, self.nlspn_spec.prop_time,
+                self.nlspn_offset_radius,
+                feat_fix=origin_depth,
+                preserve_input=self.nlspn_spec.preserve_input,
+                use_pallas={"stencil": "never", "pallas": "always",
+                            "auto": "auto"}[self.nlspn_impl])
+        return depth_map_2, nlspn_max_offset
+
     def __call__(self, rgb, depth, normal=None, train: bool = True):
         """rgb/normal: (B,H,W,3); depth: (B,H,W,1). Returns dict with
         depth_map_1/2, confidence_map_1/2, pred_depth (all (B,H,W,1)).
@@ -213,38 +251,16 @@ class RDFGenerator(nn.Module):
         confidence = nn.sigmoid(cfp)
 
         if self.use_nlspn_refine:
-            raw = self.conv_offset_aff(guide)
-            # stencil/Pallas dispatch also samples confidence gather-free
-            # (clamped to the same radius the propagation clamps to); the
-            # 'gather' impl stays reference-exact end to end
-            offsets, aff = nlspn_offset_affinity(
-                raw, confidence, self.aff_scale_const, self.nlspn_spec,
-                conf_sample_radius=(None if self.nlspn_impl == "gather"
-                                    else self.nlspn_offset_radius))
-            # telemetry: the stencil path is exact only while |offset| <=
-            # nlspn_offset_radius — expose the batch max so engines can log
-            # it and eval drivers can escalate R / fall back to gather
-            # (ops/nlspn_guard.py)
-            nlspn_max_offset = jax.lax.stop_gradient(
-                jnp.max(jnp.abs(offsets)).astype(jnp.float32))
-            if self.nlspn_impl == "gather":
-                depth_map_2 = nlspn_propagate(
-                    pred_init, offsets, aff, self.nlspn_spec,
-                    feat_fix=origin_depth)
-            else:
-                from ..ops.nlspn_stencil import build_shift_masks
-                from ..ops.pallas.nlspn_kernel import propagate_auto
-
-                M = build_shift_masks(offsets, aff,
-                                      self.nlspn_spec.prop_kernel,
-                                      self.nlspn_offset_radius)
-                depth_map_2 = propagate_auto(
-                    pred_init, M, self.nlspn_spec.prop_time,
-                    self.nlspn_offset_radius,
-                    feat_fix=origin_depth,
-                    preserve_input=self.nlspn_spec.preserve_input,
-                    use_pallas={"stencil": "never", "pallas": "always",
-                                "auto": "auto"}[self.nlspn_impl])
+            blk = RDFGenerator._nlspn_block
+            if train and self.nlspn_impl != "gather":
+                # remat ONLY the mask-build + propagation region (VERDICT r2
+                # item #3): the (B,S,S,H,W) shift-mask stack is recomputed on
+                # the backward instead of stored, so NLSPN no longer forces
+                # the engine to rematerialize ALL of G_A2B — the generator's
+                # main activations stay live.
+                blk = nn.remat(blk)
+            depth_map_2, nlspn_max_offset = blk(self, guide, confidence,
+                                                pred_init, origin_depth)
         else:
             depth_map_2 = pred_init
         depth_map_2 = jnp.clip(depth_map_2, -1.0, 1.0)

@@ -53,10 +53,13 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
       aff: (B, H, W, K) normalized affinities.
       R: offset clamp radius.
     Returns:
-      M: (B, S, S, H, W) float32, S = 2R+4; M[b, iy, ix] is the mask for
-      shift (lo+iy, lo+ix). Out-of-image contributions are NOT masked here —
-      the shifted feature is zero-padded, which reproduces the CUDA
-      zero-pad boundary semantics automatically.
+      M: (B, S, S, H, W) in ``offsets.dtype``, S = 2R+4; M[b, iy, ix] is the
+      mask for shift (lo+iy, lo+ix). Folding math runs in f32; the return is
+      the activation dtype, so the bf16 train step stores/streams the
+      (B,S,S,H,W) stack at half the bytes (the Pallas kernel rounds to bf16
+      in VMEM anyway — VERDICT r2 item #3). Out-of-image contributions are
+      NOT masked here — the shifted feature is zero-padded, which reproduces
+      the CUDA zero-pad boundary semantics automatically.
     """
     B, H, W, K, _ = offsets.shape
     lo, hi = shift_window(R)
@@ -87,7 +90,7 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
         # (K is small; one-time cost). (B,H,W,K) x (B,H,W,K,S*S)
         onehot = jax.nn.one_hot(sidx, S * S, dtype=jnp.float32)
         M = M + jnp.einsum("bhwk,bhwks->bshw", w, onehot)
-    return M.reshape(B, S, S, H, W)
+    return M.reshape(B, S, S, H, W).astype(offsets.dtype)
 
 
 def _apply_stencil(x: jnp.ndarray, M: jnp.ndarray, lo: int, S: int,

@@ -49,11 +49,23 @@ _INSTR_RE = re.compile(
     r"(?:\{[^}]*\})?))\s+([\w-]+)\(")
 
 
+_COMP_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.-]+)\s+\([^)]*\)\s*->")
+
+
 def audit(hlo_text: str, top: int = 40):
     by_op = collections.Counter()
     by_dtype = collections.Counter()
     writers = []
+    in_fusion_body = False
     for line in hlo_text.splitlines():
+        cm = _COMP_RE.match(line)
+        if cm:
+            # fusion bodies describe fused (HBM-free) ops — skip them; every
+            # other computation (entry, while/cond/scan regions) allocates
+            in_fusion_body = cm.group(1).startswith("fused_computation")
+            continue
+        if in_fusion_body:
+            continue
         m = _INSTR_RE.match(line)
         if not m:
             continue
@@ -84,6 +96,9 @@ def main():
     p.add_argument("--nlspn", action="store_true")
     p.add_argument("--fwd", action="store_true",
                    help="audit forward_test instead of the train step")
+    p.add_argument("--component", default=None,
+                   help="audit one sub-net's grad instead of the full step "
+                        "(e.g. G_A2B)")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", default=None, help="also dump full HLO here")
     args = p.parse_args()
@@ -106,7 +121,26 @@ def main():
     rng = jax.random.PRNGKey(0)
     state = engine.init_state(rng, batch)
 
-    if args.fwd:
+    if args.component:
+        name = args.component
+        rngs = ({"dropout": jax.random.PRNGKey(7)} if name == "G_label"
+                else None)
+        inputs = {"G_A2B": (batch["rgb"], batch["raw_depth"], batch["rgb"]),
+                  "G_B2A": (batch["gt_depth"],),
+                  "G_normal": (batch["rgb"],),
+                  "G_label": (batch["rgb"],)}[name]
+
+        def f(p, s, *a):
+            out, _ = engine._apply(engine.modules[name], p, s, *a,
+                                   train=True, rngs=rngs, name=name)
+            leaves = [l for l in jax.tree.leaves(out)
+                      if hasattr(l, "dtype") and jnp.issubdtype(
+                          l.dtype, jnp.floating)]
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        lowered = jax.jit(lambda p, s, *a: jax.grad(f)(p, s, *a)).lower(
+            state.params[name], state.batch_stats[name], *inputs)
+    elif args.fwd:
         lowered = jax.jit(engine._forward_test_impl).lower(
             state.params, state.batch_stats, batch["rgb"],
             batch["raw_depth"])
@@ -143,6 +177,54 @@ def main():
     print(f"\n== top {args.top} single writers ==")
     for b, op, name, shape in top_writers:
         print(f"  {b / 1e6:9.1f} MB  {op:22s} {name[:48]:48s} {shape}")
+
+    print("\n== approx traffic (writes + operand reads) by shape, top 30 ==")
+    by_shape = traffic_by_shape(texts)
+    for sh, b in by_shape.most_common(30):
+        print(f"  {b / 1e9:7.2f} GB  {sh}")
+
+
+_OPND_RE = re.compile(r"%([\w.-]+)")
+
+
+def traffic_by_shape(hlo_text: str):
+    """Approximate per-shape HBM traffic: for every non-fused top-level
+    instruction, its output bytes plus its operands' output bytes (reads).
+    Over-counts aliased/in-place buffers; good for RANKING shapes only."""
+    size = {}
+    in_fusion = False
+    for line in hlo_text.splitlines():
+        cm = _COMP_RE.match(line)
+        if cm:
+            in_fusion = cm.group(1).startswith("fused_computation")
+            continue
+        if in_fusion:
+            continue
+        m = _INSTR_RE.match(line)
+        if m:
+            size[m.group(1)] = shape_bytes(m.group(2))
+    by_shape = collections.Counter()
+    in_fusion = False
+    for line in hlo_text.splitlines():
+        cm = _COMP_RE.match(line)
+        if cm:
+            in_fusion = cm.group(1).startswith("fused_computation")
+            continue
+        if in_fusion:
+            continue
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, shape, op = m.groups()
+        if op in ("parameter", "constant", "get-tuple-element", "tuple",
+                  "bitcast"):
+            continue
+        rest = line.split(f"{op}(", 1)[-1].split(")")[0]
+        t = shape_bytes(shape) + sum(
+            size.get(on, 0) for on in _OPND_RE.findall(rest))
+        key = re.sub(r"\{[^}]*\}", "", shape)
+        by_shape[key] += t
+    return by_shape
 
 
 if __name__ == "__main__":

@@ -59,12 +59,28 @@ def _scene(rng: np.random.RandomState, h: int = 480, w: int = 640):
 
     depth_mm = (depth * 1000).astype(np.uint16)
     raw = depth_mm.copy()
-    # Kinect-like holes: border shadow + random blobs + object rims
+    # Kinect-like holes with the pseudo-hole library's failure modes
+    # (data/pseudo_hole.py == lib/datasets/pseudo_hole.py:8-193), so the
+    # fixture's raw-depth statistics stress the same regimes real scans do:
+    #  1. border shadow (stereo baseline occlusion)
     raw[:, : rng.randint(10, 40)] = 0
-    for _ in range(rng.randint(4, 9)):
-        cy, cx = rng.randint(0, h), rng.randint(0, w)
-        r = rng.randint(8, 50)
-        cv2.circle(raw, (cx, cy), r, 0, -1)
+    #  2. spatter blobs (specular/IR-absorbing surfaces)
+    from rdfc_gan_tpu.data.pseudo_hole import Spatter, hole_image
+
+    g = np.random.default_rng(rng.randint(1 << 31))
+    void = Spatter()({"raw_depth": depth.astype(np.float32)}, g)
+    raw[void] = 0
+    #  3. rectangle dropouts (dead sensor patches)
+    raw = hole_image(raw, width=rng.randint(20, 60),
+                     height=rng.randint(15, 40), nums=rng.randint(1, 4),
+                     rng=g)
+    #  4. object-rim holes: depth discontinuities shed returns — void a
+    #     dilated band around strong gradients (the dominant real NYUv2
+    #     raw-depth hole mode)
+    gy2, gx2 = np.gradient(depth)
+    edges = (np.hypot(gx2, gy2) > 0.08).astype(np.uint8)
+    band = cv2.dilate(edges, np.ones((5, 5), np.uint8)) > 0
+    raw[band & (g.random(depth.shape) < 0.85)] = 0
     return rgb, depth_mm, raw, normal_u8, labels
 
 
