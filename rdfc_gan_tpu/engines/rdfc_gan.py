@@ -62,7 +62,9 @@ class RDFCGAN(BaseEngine):
                              width=cfg.model.get("Normal_G", {}).get(
                                  "width", 1.6),
                              depth=cfg.model.get("Normal_G", {}).get(
-                                 "depth", 2.2)),
+                                 "depth", 2.2),
+                             packed_width=cfg.model.get("Normal_G", {}).get(
+                                 "packed_width", True)),
             "G_label": PSPNet(
                 self.num_classes,
                 backbone_depth=cfg.model.get("Label_G", {}).get(
@@ -70,7 +72,9 @@ class RDFCGAN(BaseEngine):
                 planes=tuple(cfg.model.get("Label_G", {}).get(
                     "planes", (64, 128, 256, 512))),
                 stem_features=cfg.model.get("Label_G", {}).get(
-                    "stem_features", 64)),
+                    "stem_features", 64),
+                packed_width=cfg.model.get("Label_G", {}).get(
+                    "packed_width", True)),
         }
         # The gather-impl NLSPN keeps big bilinear-gather intermediates live;
         # widen the selective-remat set to all of G_A2B for it. The stencil/

@@ -40,21 +40,50 @@ class PatchGANDiscriminator(nn.Module):
     norm_cfg: Optional[dict] = None  # {'type': 'BN2d'} default
     activation: str = "LeakyReLU"
     axis_name: Optional[str] = None
+    # W-packed first two stages (ops/packed.py): the full-res input and the
+    # half-res 64ch stage-0 output run lane-dense. Exact; needs even W and
+    # the shipped (k4,s2) geometry for stages 0-1.
+    packed_width: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.out_channels[-1] == 1
         n = len(self.out_channels)
         act = _act(self.activation)
+        pk = (self.packed_width and x.shape[2] % 4 == 0 and n >= 3
+              and tuple(self.stride[:2]) == (2, 2))
         for i in range(n):
-            x = nn.Conv(self.out_channels[i],
-                        (self.kernel_size[i],) * 2,
-                        strides=(self.stride[i],) * 2,
-                        padding=self.padding[i],
-                        kernel_init=gan_kernel_init)(x)
+            if pk and i == 0:
+                from .layers import PackedConv
+
+                x = PackedConv(self.out_channels[0],
+                               (self.kernel_size[0],) * 2,
+                               strides=(2, 2), padding=self.padding[0],
+                               kernel_init=gan_kernel_init,
+                               in_packed=False, out_packed=True,
+                               name="Conv_0")(x)
+            elif pk and i == 1:
+                from .layers import PackedConv
+
+                x = PackedConv(self.out_channels[1],
+                               (self.kernel_size[1],) * 2,
+                               strides=(2, 2), padding=self.padding[1],
+                               kernel_init=gan_kernel_init,
+                               in_packed=True, out_packed=False,
+                               name="Conv_1")(x)
+            else:
+                x = nn.Conv(self.out_channels[i],
+                            (self.kernel_size[i],) * 2,
+                            strides=(self.stride[i],) * 2,
+                            padding=self.padding[i],
+                            kernel_init=gan_kernel_init,
+                            name=f"Conv_{i}" if pk else None)(x)
             if 0 < i < n - 1:
+                # stage-1's packed conv already UNPACKS (out_packed=False),
+                # so every BN here sees a plain NHWC tensor
                 x = BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=self.axis_name, dtype=x.dtype)(x)
+                              epsilon=1e-5, axis_name=self.axis_name,
+                              dtype=x.dtype)(x)
             if i < n - 1:
                 x = act(x)
         return x

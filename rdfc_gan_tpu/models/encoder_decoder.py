@@ -22,20 +22,25 @@ class EncoderDecoder(nn.Module):
     encoder_channels: Sequence[int] = (64, 128, 256, 512, 512)
     decoder_channels: Sequence[int] = (256, 128, 64, 64)
     axis_name: Optional[str] = None
+    # W-packed full-res region (ops/packed.py): en2 consumes/produces
+    # packed tensors, en3 unpacks on entry, de2 emits packed output.
+    packed: bool = False
 
     def setup(self):
         depth = {"resnet18": 18, "resnet34": 34}[self.encoder_type]
         # stage widths follow the config (== torchvision for the shipped
         # [64,128,256,512,512]); narrower configs give cheap test torsos
         stages = make_stages(depth, axis_name=self.axis_name,
-                             planes=tuple(self.encoder_channels[:4]))
+                             planes=tuple(self.encoder_channels[:4]),
+                             packed_stage1=self.packed)
         self.en2, self.en3, self.en4, self.en5 = stages
         self.en6 = ConvBNAct(self.encoder_channels[-1], kernel=3, stride=2,
                              axis_name=self.axis_name)
         self.de5 = ConvTBNAct(self.decoder_channels[0], axis_name=self.axis_name)
         self.de4 = ConvTBNAct(self.decoder_channels[1], axis_name=self.axis_name)
         self.de3 = ConvTBNAct(self.decoder_channels[2], axis_name=self.axis_name)
-        self.de2 = ConvTBNAct(self.decoder_channels[3], axis_name=self.axis_name)
+        self.de2 = ConvTBNAct(self.decoder_channels[3], axis_name=self.axis_name,
+                              out_packed=self.packed)
 
     def encode(self, x, layer_idx: int, train: bool = True):
         assert 2 <= layer_idx <= 6

@@ -71,6 +71,7 @@ class PSPNet(nn.Module):
     # stage widths; defaults match the reference R50 (narrow for tests)
     planes: Sequence[int] = (64, 128, 256, 512)
     stem_features: int = 64
+    packed_width: bool = False  # W-packed DeepStem (ops/packed.py)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -81,7 +82,8 @@ class PSPNet(nn.Module):
         input_size = (x.shape[1], x.shape[2])
         # deep_base stem (backbone_resnet50.py:139-154), not the 7x7 one
         h = DeepStem(features=self.stem_features,
-                     axis_name=self.axis_name)(x, train)
+                     axis_name=self.axis_name,
+                     packed_width=self.packed_width)(x, train)
         l1, l2, l3, l4 = make_stages(self.backbone_depth, dilated=True,
                                      planes=tuple(self.planes),
                                      axis_name=self.axis_name)

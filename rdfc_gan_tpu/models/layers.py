@@ -57,10 +57,15 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
     dtype: Any = None  # accepted for drop-in compat; math is fixed as above
+    # W-packed input (ops/packed.py): x's channel dim holds ``pack``
+    # interleaved column phases per ORIGINAL channel (c-major). Stats are
+    # per original channel: reduce the phase sub-axis too. Params and
+    # running stats keep the original (C,) shape — checkpoint-identical.
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x):
-        feat = x.shape[-1]
+        feat = x.shape[-1] // self.pack
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -70,8 +75,12 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            red = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
+            if self.pack > 1:
+                xf = xf.reshape(*x.shape[:-1], feat, self.pack)
+                red = tuple(range(x.ndim - 1)) + (x.ndim,)
+            else:
+                red = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=red)
             mean2 = jnp.mean(jnp.square(xf), axis=red)
             if self.axis_name is not None:
@@ -84,20 +93,79 @@ class BatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
         b = bias.astype(jnp.float32) - mean * a
+        if self.pack > 1:
+            a = jnp.repeat(a, self.pack)
+            b = jnp.repeat(b, self.pack)
         return x * a.astype(x.dtype) + b.astype(x.dtype)
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  pack: int = 1) -> jnp.ndarray:
     """Per-image, per-channel normalization; no affine (torch IN2d default).
 
     Statistics are computed in float32 (bf16 variance is numerically unsafe)
     but the normalization itself applies in the activation dtype, so bf16
-    feature maps stay bf16 (half the HBM traffic at full resolution)."""
+    feature maps stay bf16 (half the HBM traffic at full resolution).
+    ``pack``: W-packed input (ops/packed.py) — per ORIGINAL channel stats
+    (the phase sub-axis reduces with H, W)."""
     x32 = x.astype(jnp.float32)
-    mean = x32.mean(axis=(1, 2), keepdims=True)
-    var = x32.var(axis=(1, 2), keepdims=True)
+    if pack > 1:
+        B, H, Wp, C2 = x.shape
+        xg = x32.reshape(B, H, Wp, C2 // pack, pack)
+        mean = xg.mean(axis=(1, 2, 4))
+        var = xg.var(axis=(1, 2, 4))
+        mean = jnp.repeat(mean, pack, axis=-1)[:, None, None, :]
+        var = jnp.repeat(var, pack, axis=-1)[:, None, None, :]
+    else:
+        mean = x32.mean(axis=(1, 2), keepdims=True)
+        var = x32.var(axis=(1, 2), keepdims=True)
     scale = jnp.reciprocal(jnp.sqrt(var + eps)).astype(x.dtype)
     return (x - mean.astype(x.dtype)) * scale
+
+
+class PackedConv(nn.Module):
+    """nn.Conv drop-in over a W-packed input (ops/packed.py).
+
+    Parameters keep the ORIGINAL (kh, kw, Cin, Cout) 'kernel' / (Cout,)
+    'bias' shapes and names, so checkpoints and converters are unchanged —
+    instantiate with an explicit ``name`` (e.g. "Conv_0") to keep the
+    param path identical to the nn.Conv it replaces. The packed kernel is
+    assembled at trace time (exact; tests/test_packed.py)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1  # ORIGINAL-space LEFT/symmetric padding
+    use_bias: bool = True
+    in_packed: bool = True
+    out_packed: bool = True
+    kernel_init: Callable = gan_kernel_init
+    feature_group_count: int = 1
+    # asymmetric right pads (SAME-geometry stems); None = symmetric
+    padding_right: Optional[int] = None
+    h_pad: Optional[Tuple[int, int]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.packed import conv_packed, wpack
+
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // (2 if self.in_packed else 1)
+        w = self.param("kernel", self.kernel_init,
+                       (kh, kw, cin // self.feature_group_count,
+                        self.features))
+        if not self.in_packed:
+            x = wpack(x)
+        out = conv_packed(x, w, self.padding, stride=self.strides,
+                          out_packed=self.out_packed,
+                          h_pad=self.h_pad, p_right=self.padding_right,
+                          groups=self.feature_group_count)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.out_packed:
+                b = jnp.repeat(b, 2)
+            out = out + b.astype(x.dtype)
+        return out
 
 
 class ConvBNAct(nn.Module):
@@ -114,19 +182,27 @@ class ConvBNAct(nn.Module):
     relu: bool = True
     kernel_init: Callable = gan_kernel_init
     axis_name: Optional[str] = None
+    packed: bool = False  # W-packed in AND out (ops/packed.py)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert not (self.bn and self.use_in)
         pad = (self.kernel - 1) // 2 if self.padding is None else self.padding
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            use_bias=not self.bn,
-            kernel_init=self.kernel_init,
-        )(x)
+        if self.packed:
+            x = PackedConv(
+                self.features, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride), padding=pad,
+                use_bias=not self.bn, kernel_init=self.kernel_init,
+                name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                use_bias=not self.bn,
+                kernel_init=self.kernel_init,
+            )(x)
         if self.bn:
             x = BatchNorm(
                 use_running_average=not train,
@@ -134,6 +210,7 @@ class ConvBNAct(nn.Module):
                 epsilon=1e-5,
                 axis_name=self.axis_name,
                 dtype=x.dtype,
+                pack=2 if self.packed else 1,
             )(x)
         if self.use_in:
             x = instance_norm(x)
@@ -155,19 +232,28 @@ class TorchConvTranspose(nn.Module):
     output_padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = gan_kernel_init
+    out_packed: bool = False  # W-packed output (ops/packed.py); s must be 2
 
     @nn.compact
     def __call__(self, x):
         k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
         w = self.param("kernel", self.kernel_init,
                        (k, k, x.shape[-1], self.features))
-        lo, hi = k - 1 - p, k - 1 - p + op
-        out = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), window_strides=(1, 1),
-            padding=((lo, hi), (lo, hi)), lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.out_packed:
+            from ..ops.packed import convt_packed_out
+
+            assert s == 2
+            out = convt_packed_out(x, w.astype(x.dtype), k=k, p=p, op=op)
+        else:
+            lo, hi = k - 1 - p, k - 1 - p + op
+            out = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)), lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.out_packed:
+                b = jnp.repeat(b, 2)
             out = out + b.astype(x.dtype)
         return out
 
@@ -183,6 +269,7 @@ class ConvTBNAct(nn.Module):
     relu: bool = True
     kernel_init: Callable = gan_kernel_init
     axis_name: Optional[str] = None
+    out_packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -194,6 +281,7 @@ class ConvTBNAct(nn.Module):
             output_padding=self.stride - 1,
             use_bias=not self.bn,
             kernel_init=self.kernel_init,
+            out_packed=self.out_packed,
         )(x)
         if self.bn:
             x = BatchNorm(
@@ -202,6 +290,7 @@ class ConvTBNAct(nn.Module):
                 epsilon=1e-5,
                 axis_name=self.axis_name,
                 dtype=x.dtype,
+                pack=2 if self.out_packed else 1,
             )(x)
         if self.relu:
             x = leaky_relu02(x)
@@ -226,11 +315,13 @@ class BlockFusedConv(nn.Module):
     head_inputs: Tuple[Tuple[int, ...], ...]
     kernel: int = 3
     kernel_init: Callable = gan_kernel_init
+    packed: bool = False  # inputs and outputs W-packed (ops/packed.py)
 
     @nn.compact
     def __call__(self, inputs) -> Tuple[jnp.ndarray, ...]:
         k = self.kernel
-        chans = [x.shape[-1] for x in inputs]
+        div = 2 if self.packed else 1
+        chans = [x.shape[-1] // div for x in inputs]
         cols = []
         biases = []
         for i, (out, reads) in enumerate(zip(self.head_out,
@@ -248,6 +339,14 @@ class BlockFusedConv(nn.Module):
         w = jnp.concatenate(cols, axis=3)
         b = jnp.concatenate(biases)
         x = jnp.concatenate(inputs, axis=-1)
+        if self.packed:
+            from ..ops.packed import conv_packed
+
+            out = conv_packed(x, w.astype(x.dtype), k // 2)
+            out = out + jnp.repeat(b, 2).astype(x.dtype)
+            splits = 2 * np.cumsum(self.head_out)[:-1] if \
+                len(self.head_out) > 1 else []
+            return tuple(jnp.split(out, list(splits), axis=-1))
         out = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(1, 1),
             padding=((k // 2, k // 2),) * 2,

@@ -50,12 +50,21 @@ _B0_BLOCKS = (
 
 class SqueezeExcite(nn.Module):
     reduced: int
+    packed: bool = False  # W-packed input: per-ORIG-channel pooled stats
 
     @nn.compact
     def __call__(self, x):
-        s = x.mean(axis=(1, 2), keepdims=True)
+        if self.packed:
+            B, H, Wp, C2 = x.shape
+            s = x.reshape(B, H, Wp, C2 // 2, 2).mean(axis=(1, 2, 4))
+            s = s[:, None, None, :]
+        else:
+            s = x.mean(axis=(1, 2), keepdims=True)
+        cout = x.shape[-1] // (2 if self.packed else 1)
         s = nn.silu(nn.Conv(self.reduced, (1, 1))(s))
-        s = nn.sigmoid(nn.Conv(x.shape[-1], (1, 1))(s))
+        s = nn.sigmoid(nn.Conv(cout, (1, 1))(s))
+        if self.packed:
+            s = jnp.repeat(s, 2, axis=-1)
         return x * s
 
 
@@ -66,24 +75,72 @@ class MBConv(nn.Module):
     stride: int
     se_ratio: float = 0.25
     axis_name: Optional[str] = None
+    # W-packed layout (ops/packed.py): 'none' | 'full' (in & out packed,
+    # s1) | 'exit' (packed in; the depthwise stride-2 conv unpacks).
+    # Param tree identical in every mode.
+    pack_mode: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        def bn(z):
-            return BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
+        pk = self.pack_mode != "none"
+        full = self.pack_mode == "full"
 
-        cin = x.shape[-1]
+        def bn(z, packed=False):
+            return BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, axis_name=self.axis_name,
+                             dtype=z.dtype, pack=2 if packed else 1)(z)
+
+        cin = x.shape[-1] // (2 if pk else 1)
         h = x
         mid = cin * self.expand
+        ci = 0
         if self.expand != 1:
-            h = nn.silu(bn(nn.Conv(mid, (1, 1), use_bias=False)(h)))
-        h = nn.Conv(mid, (self.kernel,) * 2, strides=(self.stride,) * 2,
-                    padding="SAME", feature_group_count=mid, use_bias=False)(h)
-        h = nn.silu(bn(h))
+            if pk:
+                from .layers import PackedConv
+
+                h = PackedConv(mid, (1, 1), padding=0, use_bias=False,
+                               name=f"Conv_{ci}")(h)
+            else:
+                h = nn.Conv(mid, (1, 1), use_bias=False,
+                            name=f"Conv_{ci}" if pk else None)(h)
+            h = nn.silu(bn(h, pk))
+            ci += 1
+        if pk:
+            from .layers import PackedConv
+
+            assert full or self.stride == 2
+            k = self.kernel
+            # timm SAME geometry on even dims: s1 -> symmetric k//2;
+            # s2 -> (k-2) total, split (k//2-1, k//2)
+            if self.stride == 1:
+                pl = pr = k // 2
+                hp = (k // 2, k // 2)
+            else:
+                pl, pr = k // 2 - 1, k // 2
+                hp = (pl, pr)
+            h = PackedConv(mid, (k, k), strides=(self.stride,) * 2,
+                           padding=pl, padding_right=pr, h_pad=hp,
+                           use_bias=False, feature_group_count=mid,
+                           out_packed=full, name=f"Conv_{ci}")(h)
+        else:
+            h = nn.Conv(mid, (self.kernel,) * 2,
+                        strides=(self.stride,) * 2,
+                        padding="SAME", feature_group_count=mid,
+                        use_bias=False)(h)
+        ci += 1
+        h = nn.silu(bn(h, full))
         if self.se_ratio > 0:
-            h = SqueezeExcite(max(1, int(cin * self.se_ratio)))(h)
-        h = bn(nn.Conv(self.features, (1, 1), use_bias=False)(h))
+            h = SqueezeExcite(max(1, int(cin * self.se_ratio)),
+                              packed=full)(h)
+        if full:
+            from .layers import PackedConv
+
+            h = PackedConv(self.features, (1, 1), padding=0, use_bias=False,
+                           name=f"Conv_{ci}")(h)
+        else:
+            h = nn.Conv(self.features, (1, 1), use_bias=False,
+                        name=f"Conv_{ci}" if pk else None)(h)
+        h = bn(h, full)
         if self.stride == 1 and cin == self.features:
             h = h + x
         return h
@@ -95,31 +152,54 @@ class EfficientNetEncoder(nn.Module):
     width: float = 1.6
     depth: float = 2.2
     axis_name: Optional[str] = None
+    # W-packed stem + stage-0 (the low-channel half-res region, up to 10x
+    # lane-padded unpacked — ops/packed.py); stage-1's entry block unpacks.
+    packed_width: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Sequence[jnp.ndarray]:
-        def bn(z):
+        def bn(z, packed=False):
             return BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-3, axis_name=self.axis_name, dtype=z.dtype)(z)
+                             epsilon=1e-3, axis_name=self.axis_name,
+                             dtype=z.dtype, pack=2 if packed else 1)(z)
 
+        pk = self.packed_width and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0
         stem = _round_channels(32, self.width)
-        h = nn.silu(bn(nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
-                               use_bias=False)(x)))
+        if pk:
+            from .layers import PackedConv
+
+            # timm SAME: k3 s2 on even dims pads (0, 1)
+            h = PackedConv(stem, (3, 3), strides=(2, 2), padding=0,
+                           padding_right=1, h_pad=(0, 1), use_bias=False,
+                           in_packed=False, name="Conv_0")(x)
+        else:
+            h = nn.Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False, name="Conv_0" if pk else None)(x)
+        h = nn.silu(bn(h, pk))
         taps = []
+        from ..ops.packed import wunpack
+
         for si, (e, c, r, s, k) in enumerate(_B0_BLOCKS):
             feats = _round_channels(c, self.width)
             reps = _round_repeats(r, self.depth)
             for bi in range(reps):
+                pm = "none"
+                if pk and si == 0:
+                    pm = "full"
+                elif pk and si == 1 and bi == 0:
+                    pm = "exit"
                 h = MBConv(features=feats, expand=e, kernel=k,
                            stride=s if bi == 0 else 1,
-                           axis_name=self.axis_name)(h, train)
+                           axis_name=self.axis_name, pack_mode=pm)(h, train)
             if si in (0, 1, 2, 4):  # blocks 0,1,2,4 -> taps 24/40/64/176
-                taps.append(h)
+                # tap b0 is packed in packed mode: unpack for the decoder
+                taps.append(wunpack(h) if (pk and si == 0) else h)
         head = _round_channels(1280, self.width)  # 2048 for B5
         # the reference decoder taps features[11] = conv_head output BEFORE
         # bn2/act2 (encoder.py forward collects every module output; the
         # decoder indexes 4/5/6/8/11) — so the head tap is the bare conv
-        h = nn.Conv(head, (1, 1), use_bias=False)(h)
+        h = nn.Conv(head, (1, 1), use_bias=False,
+                    name="Conv_1" if pk else None)(h)
         taps.append(h)
         return taps
 
@@ -168,11 +248,13 @@ class NNET(nn.Module):
     width: float = 1.6
     depth: float = 2.2
     axis_name: Optional[str] = None
+    packed_width: bool = False  # W-packed encoder stem/stage0 (ops/packed.py)
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         taps = EfficientNetEncoder(width=self.width, depth=self.depth,
-                                   axis_name=self.axis_name)(img, train)
+                                   axis_name=self.axis_name,
+                                   packed_width=self.packed_width)(img, train)
         out = NormalDecoder(head=_round_channels(1280, self.width),
                             axis_name=self.axis_name)(taps, train)
         return bilinear_resize(out, (self.out_height, self.out_width),

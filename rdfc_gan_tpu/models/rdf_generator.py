@@ -52,6 +52,11 @@ class RDFGenerator(nn.Module):
     nlspn_impl: str = "auto"
     nlspn_offset_radius: int = 2
     axis_name: Optional[str] = None
+    # W-packed full/half-res region (ops/packed.py): stems, encoder stage 2,
+    # stage-3 entry, de2, heads run on (B,H,W/2,2C) lane-dense tensors —
+    # mathematically exact, param tree unchanged, ~half the physical HBM
+    # traffic of the low-lane full-res stages. Requires even input width.
+    packed_width: bool = False
 
     def _fuse_channels(self, level: int) -> int:
         """Channel count entering fuse layer `level` (1-indexed as reference)."""
@@ -69,15 +74,16 @@ class RDFGenerator(nn.Module):
         # over the semantic input, 16ch over depth) run as ONE BlockFusedConv
         # launch — exact, see layers.BlockFusedConv
         self.stem_fused = BlockFusedConv(
-            head_out=(rce[0], 48, 16), head_inputs=((0,), (0,), (1,)))
+            head_out=(rce[0], 48, 16), head_inputs=((0,), (0,), (1,)),
+            packed=self.packed_width)
         self.rgb_ed = EncoderDecoder(
             encoder_type=self.encoder_rgb, skip_type=self.rgb_skip_connection_type,
             encoder_channels=rce[1:], decoder_channels=rcd,
-            axis_name=self.axis_name)
+            axis_name=self.axis_name, packed=self.packed_width)
         self.depth_ed = EncoderDecoder(
             encoder_type=self.encoder_depth, skip_type=self.depth_skip_connection_type,
             encoder_channels=dce[1:], decoder_channels=dcd,
-            axis_name=self.axis_name)
+            axis_name=self.axis_name, packed=self.packed_width)
 
         if self.use_nlspn_refine:
             cfgs = dict(self.nlspn_configs or {})
@@ -110,19 +116,24 @@ class RDFGenerator(nn.Module):
         # dec1 heads: per-branch fused conv+BN+lrelu — per-channel BN over
         # the concatenated outputs == separate per-head BNs, exact
         # (rgb: pred 64 | conf 32; depth: id 64 | [gd 64] | cf 32)
-        self.rgb_dec1 = ConvBNAct(64 + 32, axis_name=self.axis_name)
+        self.rgb_dec1 = ConvBNAct(64 + 32, axis_name=self.axis_name,
+                                  packed=self.packed_width)
         self.depth_dec1 = ConvBNAct(64 + (64 if num else 0) + 32,
-                                    axis_name=self.axis_name)
+                                    axis_name=self.axis_name,
+                                    packed=self.packed_width)
         # dec0 heads: shared fe1 skip per branch, block-fused
         self.rgb_dec0 = BlockFusedConv(
-            head_out=(1, 1), head_inputs=((0, 2), (1, 2)))
+            head_out=(1, 1), head_inputs=((0, 2), (1, 2)),
+            packed=self.packed_width)
         if num:
             self.depth_dec0 = BlockFusedConv(
                 head_out=(1, num, 1),
-                head_inputs=((0, 3), (1, 3), (2, 3)))
+                head_inputs=((0, 3), (1, 3), (2, 3)),
+                packed=self.packed_width)
         else:
             self.depth_dec0 = BlockFusedConv(
-                head_out=(1, 1), head_inputs=((0, 2), (1, 2)))
+                head_out=(1, 1), head_inputs=((0, 2), (1, 2)),
+                packed=self.packed_width)
 
         # 'add' skips use identity projections: the shipped configs are all
         # 'concat' (rdf_cycle_patchgan_config.yaml:11-12), and the reference's
@@ -202,6 +213,16 @@ class RDFGenerator(nn.Module):
         if normal is None:
             normal = rgb
 
+        pk = self.packed_width
+        if pk:
+            from ..ops.packed import wpack, wunpack
+
+            assert depth.shape[2] % 2 == 0, (
+                "packed_width requires even W; disable packed_width in the "
+                "G_A2B config for odd-width inputs")
+            normal, depth = wpack(normal), wpack(depth)
+        mult = 2 if pk else 1
+
         # encoder stage 1 [1/1]: one fused stem launch, then LeakyReLU
         # (conv_bn_relu(bn=False), common.py:29-43)
         s_rgb, s_d48, s_d16 = self.stem_fused((normal, depth))
@@ -232,8 +253,10 @@ class RDFGenerator(nn.Module):
         # (rdf_generator.py:374-379 + _concat) — same order here.
         rgb_h = self.rgb_dec1(rgb_fd, train)
         rgb_h = rgb_h[:, : rgb_fe1.shape[1], : rgb_fe1.shape[2], :]
-        rgb_pred_fd1, rgb_conf_fd1 = jnp.split(rgb_h, [64], axis=-1)
+        rgb_pred_fd1, rgb_conf_fd1 = jnp.split(rgb_h, [64 * mult], axis=-1)
         pred0, conf0 = self.rgb_dec0((rgb_pred_fd1, rgb_conf_fd1, rgb_fe1))
+        if pk:
+            pred0, conf0 = wunpack(pred0), wunpack(conf0)
         depth_map_1 = jnp.tanh(pred0)
         confidence_map_1 = nn.sigmoid(conf0)
 
@@ -242,11 +265,16 @@ class RDFGenerator(nn.Module):
         d_h = d_h[:, : d_fe1.shape[1], : d_fe1.shape[2], :]
         nlspn_max_offset = None
         if self.use_nlspn_refine:
-            id_fd1, gd_fd1, cf_fd1 = jnp.split(d_h, [64, 128], axis=-1)
+            id_fd1, gd_fd1, cf_fd1 = jnp.split(
+                d_h, [64 * mult, 128 * mult], axis=-1)
             idp, guide, cfp = self.depth_dec0((id_fd1, gd_fd1, cf_fd1, d_fe1))
+            if pk:
+                guide = wunpack(guide)
         else:
-            id_fd1, cf_fd1 = jnp.split(d_h, [64], axis=-1)
+            id_fd1, cf_fd1 = jnp.split(d_h, [64 * mult], axis=-1)
             idp, cfp = self.depth_dec0((id_fd1, cf_fd1, d_fe1))
+        if pk:
+            idp, cfp = wunpack(idp), wunpack(cfp)
         pred_init = jnp.tanh(idp)
         confidence = nn.sigmoid(cfp)
 

@@ -61,26 +61,49 @@ class ResnetGenerator(nn.Module):
     n_blocks: int = 6
     padding_type: str = "reflect"
     axis_name: Optional[str] = None
+    # W-packed full-res stages (ops/packed.py): the ngf-channel stem/last-up
+    # tensors become lane-dense 2*ngf. Exact; params unchanged; needs even W.
+    packed_width: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         use_bias = self.norm_layer.lower() == "in2d"
+        pk = self.packed_width
 
-        def norm(z):
+        def norm(z, packed: bool = False):
             if self.norm_layer.lower() == "in2d":
-                return instance_norm(z)
+                return instance_norm(z, pack=2 if packed else 1)
             return BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
+                             epsilon=1e-5, axis_name=self.axis_name,
+                             dtype=z.dtype, pack=2 if packed else 1)(z)
 
         h = reflect_pad(x, 3)
-        h = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=use_bias,
-                    kernel_init=gan_kernel_init)(h)
-        h = nn.leaky_relu(norm(h), negative_slope=0.01)
+        if pk:
+            # pad in the cheap 1-3ch unpacked form, pack (W+6 stays even),
+            # run the 7x7 VALID stem lane-dense
+            from ..ops.packed import wunpack
+            from .layers import PackedConv
+
+            h = PackedConv(self.ngf, (7, 7), padding=0, use_bias=use_bias,
+                           kernel_init=gan_kernel_init,
+                           in_packed=False, name="Conv_0")(h)
+        else:
+            h = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=use_bias,
+                        kernel_init=gan_kernel_init)(h)
+        h = nn.leaky_relu(norm(h, pk), negative_slope=0.01)
 
         for i in range(2):  # downsample
             mult = 2 ** i
-            h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=(2, 2), padding=1,
-                        use_bias=use_bias, kernel_init=gan_kernel_init)(h)
+            if pk and i == 0:
+                h = PackedConv(self.ngf * 2, (3, 3), strides=(2, 2),
+                               padding=1, use_bias=use_bias,
+                               kernel_init=gan_kernel_init,
+                               out_packed=False, name="Conv_1")(h)
+            else:
+                h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=(2, 2),
+                            padding=1, use_bias=use_bias,
+                            kernel_init=gan_kernel_init,
+                            name=f"Conv_{i + 1}" if pk else None)(h)
             h = PReLU()(norm(h))
 
         for _ in range(self.n_blocks):
@@ -93,9 +116,16 @@ class ResnetGenerator(nn.Module):
             h = TorchConvTranspose(self.ngf * mult // 2, kernel=3, stride=2,
                                    padding=1, output_padding=1,
                                    use_bias=use_bias,
-                                   kernel_init=gan_kernel_init)(h)
-            h = PReLU()(norm(h))
+                                   kernel_init=gan_kernel_init,
+                                   out_packed=pk and i == 1)(h)
+            h = PReLU()(norm(h, pk and i == 1))
 
+        if pk:
+            h = reflect_pad(wunpack(h), 3)
+            h = PackedConv(self.output_channels, (7, 7), padding=0,
+                           kernel_init=gan_kernel_init, in_packed=False,
+                           name="Conv_3")(h)
+            return jnp.tanh(wunpack(h))
         h = reflect_pad(h, 3)
         h = nn.Conv(self.output_channels, (7, 7), padding="VALID",
                     kernel_init=gan_kernel_init)(h)
