@@ -9,11 +9,14 @@ denominator is the BASELINE.json north-star proxy — an estimated 8 img/s
 V100 training throughput for this model family at bs4 (PyTorch 1.6 era).
 The north-star target is vs_baseline >= 5.
 
-Round-2 state: 26.2 img/s/chip (vs_baseline ~3.3) with selective remat +
-exact G_B2A path-batching + fused stems/heads. XLA cost analysis shows the
-step at 95% of v5e HBM bandwidth (memory-bound, 94% of its own bandwidth
-floor) — further gains need byte-reduction, not scheduling; the full
-roofline is in docs/PERF_NOTES.md.
+Round-3 state: ~30.7 img/s/chip (vs_baseline ~3.8) with the W-packed
+(exact space-to-depth along W, ops/packed.py) full-res stages of
+G_A2B/G_B2A/both discriminators, exact G_B2A path-batching, fused
+stems/heads, and remat OFF (bs8 bf16 fits in v5e HBM since the r2
+BatchNorm/fused-head memory work; recomputing G_normal/G_label forwards
+cost ~15 ms/step of repeated HBM traffic). The step is memory-bound at
+~95% of its own bandwidth floor; the byte attribution and layout story is
+in docs/PERF_NOTES.md.
 """
 
 from __future__ import annotations
@@ -39,6 +42,9 @@ def main():
     cfg = _flagship_cfg()
     batch_size = 8  # step time is launch-overhead-bound; bs8 ~doubles img/s
     cfg.merge(dict(batch_size=batch_size))
+    # bs8 bf16 fits with no remat; selective remat re-runs the G_normal /
+    # G_label forwards in the backward (~15 ms of extra HBM traffic).
+    cfg.merge(dict(remat=False))
     engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
 
     batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, batch_size))

@@ -56,6 +56,11 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--fwd_only", action="store_true")
+    p.add_argument("--only", default=None,
+                   help="comma-separated subnet names to time")
+    p.add_argument("--set", default=None, action="append",
+                   help="cfg override key=value (e.g. "
+                        "model.Normal_G.packed_width=false)")
     args = p.parse_args()
 
     import jax
@@ -70,6 +75,16 @@ def main():
 
     cfg = _flagship_cfg()
     cfg.merge(dict(batch_size=args.batch))
+    for kv in args.set or []:
+        key, _, val = kv.partition("=")
+        val = {"true": True, "false": False}.get(val.lower(), val)
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            if part not in node:
+                node.merge({part: {}})
+            node = node[part]
+        node.merge({parts[-1]: val})
     engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
     batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, args.batch))
     state = engine.init_state(jax.random.PRNGKey(0), batch)
@@ -87,6 +102,9 @@ def main():
         "disc_B": (rgb,),
     }
     rngs_for = {"G_label": {"dropout": jax.random.PRNGKey(1)}}
+    if args.only:
+        keep = set(args.only.split(","))
+        inputs = {k: v for k, v in inputs.items() if k in keep}
 
     results = {}
     for name, inp in inputs.items():

@@ -101,6 +101,9 @@ def main():
                         "(e.g. G_A2B)")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", default=None, help="also dump full HLO here")
+    p.add_argument("--remat", default=None,
+                   choices=["none", "selective", "all"],
+                   help="override cfg.remat for the audited step")
     args = p.parse_args()
 
     import jax
@@ -114,6 +117,9 @@ def main():
 
     cfg = _flagship_cfg()
     cfg.merge(dict(batch_size=args.batch))
+    if args.remat:
+        cfg.merge(dict(remat={"none": False, "selective": "selective",
+                              "all": True}[args.remat]))
     if args.nlspn:
         cfg.model.G_A2B.merge(dict(use_nlspn_refine=True))
     engine = build_engine(cfg, is_train=not args.fwd, steps_per_epoch=100)
