@@ -53,18 +53,41 @@ class RDFCGAN(BaseEngine):
         self.out_height = cfg.get("out_height", 224)
         self.out_width = cfg.get("out_width", 304)
 
+        # NLSPN keeps extra full-res state live (mask build, propagation
+        # residuals, the refined-depth chain). Measured on v5e (bs8, 224x304,
+        # docs/PERF_NOTES.md round-3): leaving G_A2B un-rematted pushes the
+        # step into XLA's own crude HBM rematerializer — the full step runs
+        # ~145 ms SLOWER than its component sum (521 ms selective / 752 ms
+        # no-remat), while r2's widened remat ran 475 ms. So with NLSPN on
+        # and remat='selective', widen the remat set to G_A2B for EVERY impl
+        # and drop the generator's inner nn.remat of the NLSPN block (outer
+        # jax.checkpoint already recomputes it; nesting would forward the
+        # propagation a third time).
+        g_a2b_cfg = cfg.model.G_A2B.to_dict()
+        if (cfg.model.G_A2B.get("use_nlspn_refine", False)
+                and cfg.get("remat") == "selective"
+                and "G_A2B" not in cfg.get("remat_nets", [])):
+            cfg.merge(dict(remat_nets=list(cfg.remat_nets) + ["G_A2B"]))
+        if (cfg.model.G_A2B.get("use_nlspn_refine", False)
+                and "G_A2B" in (cfg.get("remat_nets", [])
+                                if cfg.get("remat") == "selective" else [])):
+            g_a2b_cfg.setdefault("nlspn_local_remat", False)
         self.modules = {
-            "G_A2B": build_generator(cfg.model.G_A2B.to_dict()),
+            "G_A2B": build_generator(g_a2b_cfg),
             "G_B2A": build_generator(cfg.model.G_B2A.to_dict()),
             "disc_A": build_discriminator(cfg.model.D_A.to_dict()),
             "disc_B": build_discriminator(cfg.model.D_B.to_dict()),
+            # NNET/PSPNet packed_width defaults OFF: W-packing their stems
+            # REGRESSES on v5e (B5 depthwise/grouped convs turn pathological
+            # once packed — G_normal grad 32.7 -> 81.8 ms, PERF_NOTES r3).
+            # The option stays for A/B runs and CI equivalence coverage.
             "G_normal": NNET(self.out_height, self.out_width,
                              width=cfg.model.get("Normal_G", {}).get(
                                  "width", 1.6),
                              depth=cfg.model.get("Normal_G", {}).get(
                                  "depth", 2.2),
                              packed_width=cfg.model.get("Normal_G", {}).get(
-                                 "packed_width", True)),
+                                 "packed_width", False)),
             "G_label": PSPNet(
                 self.num_classes,
                 backbone_depth=cfg.model.get("Label_G", {}).get(
@@ -74,18 +97,8 @@ class RDFCGAN(BaseEngine):
                 stem_features=cfg.model.get("Label_G", {}).get(
                     "stem_features", 64),
                 packed_width=cfg.model.get("Label_G", {}).get(
-                    "packed_width", True)),
+                    "packed_width", False)),
         }
-        # The gather-impl NLSPN keeps big bilinear-gather intermediates live;
-        # widen the selective-remat set to all of G_A2B for it. The stencil/
-        # Pallas impls no longer need this: the generator remats exactly the
-        # mask-build + propagation region itself (rdf_generator._nlspn_block,
-        # VERDICT r2 item #3), so G_A2B's main activations stay live.
-        if (cfg.model.G_A2B.get("use_nlspn_refine", False)
-                and cfg.model.G_A2B.get("nlspn_impl", "auto") == "gather"
-                and cfg.get("remat") == "selective"
-                and "G_A2B" not in cfg.get("remat_nets", [])):
-            cfg.merge(dict(remat_nets=list(cfg.remat_nets) + ["G_A2B"]))
         self.criterion_gan = GANLoss(cfg.gan_loss_type)
         if is_train:
             self.optimizers = {

@@ -17,6 +17,7 @@ axis (``axis_name``) — the SyncBN the reference registers but never ships
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -103,24 +104,33 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
                   pack: int = 1) -> jnp.ndarray:
     """Per-image, per-channel normalization; no affine (torch IN2d default).
 
-    Statistics are computed in float32 (bf16 variance is numerically unsafe)
-    but the normalization itself applies in the activation dtype, so bf16
-    feature maps stay bf16 (half the HBM traffic at full resolution).
+    Statistics are f32 ONE-PASS reductions (mean and mean-of-squares in the
+    same sweep): jnp.var's two-pass form makes XLA materialize a full f32
+    copy of the activation (the round-3 HLO audit found six 280 MB
+    f32[2B,H,W/2,128] copies of exactly this cast in the G_B2A step —
+    layers.py:111 was the hottest f32 writer). With the converts fused into
+    the reduces, nothing f32 ever exists at activation shape and the
+    normalization applies as one fused x*a+b in x.dtype.
     ``pack``: W-packed input (ops/packed.py) — per ORIGINAL channel stats
     (the phase sub-axis reduces with H, W)."""
-    x32 = x.astype(jnp.float32)
     if pack > 1:
         B, H, Wp, C2 = x.shape
-        xg = x32.reshape(B, H, Wp, C2 // pack, pack)
-        mean = xg.mean(axis=(1, 2, 4))
-        var = xg.var(axis=(1, 2, 4))
-        mean = jnp.repeat(mean, pack, axis=-1)[:, None, None, :]
-        var = jnp.repeat(var, pack, axis=-1)[:, None, None, :]
+        xg = x.reshape(B, H, Wp, C2 // pack, pack)
+        red = (1, 2, 4)
     else:
-        mean = x32.mean(axis=(1, 2), keepdims=True)
-        var = x32.var(axis=(1, 2), keepdims=True)
-    scale = jnp.reciprocal(jnp.sqrt(var + eps)).astype(x.dtype)
-    return (x - mean.astype(x.dtype)) * scale
+        xg = x
+        red = (1, 2)
+    mean = jnp.mean(xg.astype(jnp.float32), axis=red)
+    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    a = jax.lax.rsqrt(var + eps)
+    b = -mean * a
+    if pack > 1:
+        a = jnp.repeat(a, pack, axis=-1)
+        b = jnp.repeat(b, pack, axis=-1)
+    a = a[:, None, None, :].astype(x.dtype)
+    b = b[:, None, None, :].astype(x.dtype)
+    return x * a + b
 
 
 class PackedConv(nn.Module):
@@ -520,5 +530,39 @@ def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int],
     return out.astype(x.dtype)
 
 
+def _reflect_fold(g: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
+    """Transpose of reflect padding along one axis: fold the mirrored border
+    gradients back into the core (out[i] = x[pad - i] for i < pad, so
+    dx[k] += g[pad - k], k = 1..pad; symmetric at the high end)."""
+    n = g.shape[axis] - 2 * pad
+
+    def sl(a, b):
+        return tuple(slice(a, b) if d == axis else slice(None)
+                     for d in range(g.ndim))
+
+    core = g[sl(pad, pad + n)]
+    lo = jnp.flip(g[sl(0, pad)], axis)
+    hi = jnp.flip(g[sl(pad + n, 2 * pad + n)], axis)
+    core = core.at[sl(1, pad + 1)].add(lo)
+    return core.at[sl(n - pad - 1, n - 1)].add(hi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad H and W. Carries a custom O(border) VJP: the transpose
+    XLA derives for jnp.pad(mode="reflect") is a chain of FULL-tensor
+    slice+add fusions (round-3 HLO audit: four ~140 MB passes per full-res
+    pad in the G_B2A backward); the hand-written backward reads the
+    gradient once and adds only the mirrored border strips."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def _reflect_pad_fwd(x, pad):
+    return reflect_pad(x, pad), None
+
+
+def _reflect_pad_bwd(pad, _, g):
+    return (_reflect_fold(_reflect_fold(g, pad, 1), pad, 2),)
+
+
+reflect_pad.defvjp(_reflect_pad_fwd, _reflect_pad_bwd)

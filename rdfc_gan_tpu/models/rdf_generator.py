@@ -51,6 +51,11 @@ class RDFGenerator(nn.Module):
     # 'auto' = Pallas VMEM-resident stencil on TPU, XLA stencil elsewhere.
     nlspn_impl: str = "auto"
     nlspn_offset_radius: int = 2
+    # jax.checkpoint ONLY the mask-build + propagation region in train mode.
+    # The engine turns this OFF when it already remats all of G_A2B
+    # (selective remat + NLSPN): nested remat would run the propagation
+    # forward a third time in the backward pass.
+    nlspn_local_remat: bool = True
     axis_name: Optional[str] = None
     # W-packed full/half-res region (ops/packed.py): stems, encoder stage 2,
     # stage-3 entry, de2, heads run on (B,H,W/2,2C) lane-dense tensors —
@@ -280,7 +285,8 @@ class RDFGenerator(nn.Module):
 
         if self.use_nlspn_refine:
             blk = RDFGenerator._nlspn_block
-            if train and self.nlspn_impl != "gather":
+            if (train and self.nlspn_impl != "gather"
+                    and self.nlspn_local_remat):
                 # remat ONLY the mask-build + propagation region (VERDICT r2
                 # item #3): the (B,S,S,H,W) shift-mask stack is recomputed on
                 # the backward instead of stored, so NLSPN no longer forces

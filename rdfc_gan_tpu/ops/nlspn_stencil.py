@@ -71,31 +71,37 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
     frac = q - q0
     q0 = q0.astype(jnp.int32)
 
-    # 4 corners: (dy, dx) in {0,1}^2, weight = bilinear * affinity
-    M = jnp.zeros((B, S * S, H, W), jnp.float32)
+    # 4 bilinear corners (dy, dx) in {0,1}^2, stacked on one axis so the
+    # scatter-add over taps runs as a SINGLE one-hot matmul instead of four
+    # (each corner pass used to re-read and re-write the full (B,S*S,H,W)
+    # accumulator). The one-hot/weight intermediates follow the ACTIVATION
+    # dtype: bf16 in the bf16 train step (the result is cast to bf16 anyway
+    # — halves the dominant one-hot traffic), full f32 on f32 inputs so the
+    # f32 equivalence contract vs the gather impl is unchanged.
     wy1 = frac[..., 0]
     wx1 = frac[..., 1]
-    corners = (
-        (0, 0, (1 - wy1) * (1 - wx1)),
-        (0, 1, (1 - wy1) * wx1),
-        (1, 0, wy1 * (1 - wx1)),
-        (1, 1, wy1 * wx1),
-    )
-    for dy, dx, wgt in corners:
-        sy = q0[..., 0] + dy - lo  # (B,H,W,K) in [0, S)
-        sx = q0[..., 1] + dx - lo
-        sidx = sy * S + sx
-        w = (wgt * aff).astype(jnp.float32)
-        # scatter-add over the K taps into the S*S planes via one-hot matmul
-        # (K is small; one-time cost). (B,H,W,K) x (B,H,W,K,S*S)
-        onehot = jax.nn.one_hot(sidx, S * S, dtype=jnp.float32)
-        M = M + jnp.einsum("bhwk,bhwks->bshw", w, onehot)
+    wgt = jnp.stack([(1 - wy1) * (1 - wx1), (1 - wy1) * wx1,
+                     wy1 * (1 - wx1), wy1 * wx1], axis=-1)  # (B,H,W,K,4)
+    dy = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    dx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    sy = q0[..., 0, None] + dy - lo  # (B,H,W,K,4) in [0, S)
+    sx = q0[..., 1, None] + dx - lo
+    sidx = (sy * S + sx).reshape(B, H, W, 4 * K)
+    cdt = offsets.dtype if offsets.dtype == jnp.bfloat16 else jnp.float32
+    w = (wgt * aff[..., None]).reshape(B, H, W, 4 * K).astype(cdt)
+    onehot = jax.nn.one_hot(sidx, S * S, dtype=cdt)
+    M = jnp.einsum("bhwk,bhwks->bshw", w, onehot,
+                   preferred_element_type=jnp.float32)
     return M.reshape(B, S, S, H, W).astype(offsets.dtype)
 
 
 def _apply_stencil(x: jnp.ndarray, M: jnp.ndarray, lo: int, S: int,
                    pad: int) -> jnp.ndarray:
-    """One propagation step: sum_s M_s * shift_s(x). x: (B,H,W)."""
+    """One propagation step: sum_s M_s * shift_s(x). x: (B,H,W).
+
+    M may be bf16: the multiply promotes per-tile (the convert fuses into
+    the multiply-add), so a bf16 mask stack streams at half the bytes of a
+    pre-cast f32 copy — the scan re-reads M every one of prop_time steps."""
     B, H, W = x.shape
     fp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
     acc = jnp.zeros_like(x)
@@ -154,8 +160,7 @@ def stencil_propagate(feat_init: jnp.ndarray, M: jnp.ndarray, prop_time: int,
         assert feat_fix is not None
         fixv = feat_fix[..., 0].astype(jnp.float32)
         fixm = jax.lax.stop_gradient(fixv > 0.0)
-    out, _ = _scan_forward(feat0, M.astype(jnp.float32), prop_time, lo, S,
-                           pad, fixv, fixm)
+    out, _ = _scan_forward(feat0, M, prop_time, lo, S, pad, fixv, fixm)
     return out[..., None].astype(feat_init.dtype)
 
 
@@ -168,15 +173,13 @@ def _prop_fwd(feat_init, M, prop_time, R, feat_fix, preserve_input):
         assert feat_fix is not None
         fixv = feat_fix[..., 0].astype(jnp.float32)
         fixm = jax.lax.stop_gradient(fixv > 0.0)
-    M32 = M.astype(jnp.float32)
-    out, X = _scan_forward(feat0, M32, prop_time, lo, S, pad, fixv, fixm)
+    out, X = _scan_forward(feat0, M, prop_time, lo, S, pad, fixv, fixm)
     return (out[..., None].astype(feat_init.dtype),
             (X, M, fixm, feat_fix))
 
 
 def _prop_bwd(prop_time, R, preserve_input, res, g):
     X, M, fixm, feat_fix = res
-    M32 = M.astype(jnp.float32)
     lo, hi = shift_window(R)
     S, pad = hi - lo + 1, max(-lo, hi)
     B, H, W = X.shape[1:]
@@ -197,7 +200,7 @@ def _prop_bwd(prop_time, R, preserve_input, res, g):
                                    pad + dx: pad + dx + W])
             planes.append(jnp.stack(row, axis=1))
         dM = dM + jnp.stack(planes, axis=1)  # (B,S,S,H,W)
-        dx = _apply_stencil_T(gg, M32, lo, S, pad)
+        dx = _apply_stencil_T(gg, M, lo, S, pad)
         if fixm is not None:
             dfix = dfix + jnp.where(fixm, dx, 0.0)
             dx = jnp.where(fixm, 0.0, dx)
