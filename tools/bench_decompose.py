@@ -77,7 +77,16 @@ def main():
     cfg.merge(dict(batch_size=args.batch))
     for kv in args.set or []:
         key, _, val = kv.partition("=")
-        val = {"true": True, "false": False}.get(val.lower(), val)
+        if val.lower() in ("true", "false"):
+            val = val.lower() == "true"
+        else:
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
         node = cfg
         parts = key.split(".")
         for part in parts[:-1]:
