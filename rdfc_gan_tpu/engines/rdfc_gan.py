@@ -53,18 +53,20 @@ class RDFCGAN(BaseEngine):
         self.out_height = cfg.get("out_height", 224)
         self.out_width = cfg.get("out_width", 304)
 
-        # NLSPN keeps extra full-res state live (mask build, propagation
-        # residuals, the refined-depth chain). Measured on v5e (bs8, 224x304,
-        # docs/PERF_NOTES.md round-3): leaving G_A2B un-rematted pushes the
-        # step into XLA's own crude HBM rematerializer — the full step runs
-        # ~145 ms SLOWER than its component sum (521 ms selective / 752 ms
-        # no-remat), while r2's widened remat ran 475 ms. So with NLSPN on
-        # and remat='selective', widen the remat set to G_A2B for EVERY impl
-        # and drop the generator's inner nn.remat of the NLSPN block (outer
-        # jax.checkpoint already recomputes it; nesting would forward the
-        # propagation a third time).
+        # NLSPN remat policy (measured on v5e, bs8, 224x304 — see
+        # docs/PERF_NOTES.md round-3 "NLSPN remat ladder"). Early round-3
+        # code had to widen selective remat to all of G_A2B (475 ms; narrower
+        # settings spilled into XLA's own HBM rematerializer at 521/752 ms).
+        # After the bf16 mask stack, the one-pass IN, and the two-phase O(T)
+        # propagation backward shrank the live set, the ladder inverted:
+        # widened 422.0 ms > selective-narrow 365.6 > remat OFF 344.9. The
+        # generator's LOCAL nn.remat of the mask-build+propagation block
+        # (nlspn_local_remat, on by default) is what keeps the narrow
+        # settings in budget. Widening stays available as an escape hatch
+        # for bigger batches: cfg.nlspn_widen_remat=True.
         g_a2b_cfg = cfg.model.G_A2B.to_dict()
         if (cfg.model.G_A2B.get("use_nlspn_refine", False)
+                and cfg.get("nlspn_widen_remat", False)
                 and cfg.get("remat") == "selective"
                 and "G_A2B" not in cfg.get("remat_nets", [])):
             cfg.merge(dict(remat_nets=list(cfg.remat_nets) + ["G_A2B"]))

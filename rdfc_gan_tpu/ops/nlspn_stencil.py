@@ -187,29 +187,36 @@ def _prop_bwd(prop_time, R, preserve_input, res, g):
     in_dtype = g.dtype
     g0 = g[..., 0].astype(jnp.float32)
 
+    # Two-phase backward. A single reverse scan that also accumulates dM
+    # re-reads AND re-writes the (B,S,S,H,W) f32 accumulator (~139 MB at
+    # bs8/224x304) on every one of the T steps — ~5 GB of pure accumulator
+    # churn. Instead: (1) a cheap carry-only reverse scan computes the
+    # gradient chain g_t (and dfix), stacking it (T,B,H,W) like X; (2) the
+    # mask gradient collapses to one reduction per shift,
+    # dM_s = sum_t G_t * shift_s(X_t), which reads G and X once per shift
+    # and writes dM exactly once.
     def bstep(carry, x_t):
-        gg, dM, dfix = carry
-        # dM_s[t] = g * shift_s(x_t)
-        xp = jnp.pad(x_t, ((0, 0), (pad, pad), (pad, pad)))
-        planes = []
-        for iy in range(S):
-            row = []
-            for ix in range(S):
-                dy, dx = lo + iy, lo + ix
-                row.append(gg * xp[:, pad + dy: pad + dy + H,
-                                   pad + dx: pad + dx + W])
-            planes.append(jnp.stack(row, axis=1))
-        dM = dM + jnp.stack(planes, axis=1)  # (B,S,S,H,W)
+        gg, dfix = carry
         dx = _apply_stencil_T(gg, M, lo, S, pad)
         if fixm is not None:
             dfix = dfix + jnp.where(fixm, dx, 0.0)
             dx = jnp.where(fixm, 0.0, dx)
-        return (dx, dM, dfix), None
+        return (dx, dfix), gg
 
-    dM0 = jnp.zeros((B, S, S, H, W), jnp.float32)
     dfix0 = jnp.zeros((B, H, W), jnp.float32)
-    (dfeat0, dM, dfix), _ = jax.lax.scan(bstep, (g0, dM0, dfix0), X,
-                                         reverse=True)
+    (dfeat0, dfix), G = jax.lax.scan(bstep, (g0, dfix0), X, reverse=True)
+
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    planes = []
+    for iy in range(S):
+        row = []
+        for ix in range(S):
+            dy, dx_ = lo + iy, lo + ix
+            row.append(jnp.sum(
+                G * Xp[:, :, pad + dy: pad + dy + H,
+                       pad + dx_: pad + dx_ + W], axis=0))
+        planes.append(jnp.stack(row, axis=1))
+    dM = jnp.stack(planes, axis=1)  # (B,S,S,H,W)
     dfeat = dfeat0[..., None].astype(in_dtype)
     if feat_fix is None:
         dfix_out = None
