@@ -71,13 +71,17 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
     frac = q - q0
     q0 = q0.astype(jnp.int32)
 
-    # 4 bilinear corners (dy, dx) in {0,1}^2, stacked on one axis so the
-    # scatter-add over taps runs as a SINGLE one-hot matmul instead of four
-    # (each corner pass used to re-read and re-write the full (B,S*S,H,W)
-    # accumulator). The one-hot/weight intermediates follow the ACTIVATION
-    # dtype: bf16 in the bf16 train step (the result is cast to bf16 anyway
-    # — halves the dominant one-hot traffic), full f32 on f32 inputs so the
-    # f32 equivalence contract vs the gather impl is unchanged.
+    # 4 bilinear corners (dy, dx) in {0,1}^2, stacked on one axis. The
+    # scatter-add over the 4K (tap, corner) contributions runs as a Pallas
+    # compare-select kernel on TPU (one-hot einsum fallback elsewhere): the
+    # einsum materializes a (B,H,W,4K,S*S) one-hot in HBM (~2.5 GB bf16 at
+    # bs8/224x304) on every build, the kernel only streams w/sy/sx/M
+    # (ops/pallas/mask_kernel.py). Weight intermediates follow the
+    # ACTIVATION dtype: bf16 in the bf16 train step (the result is cast to
+    # bf16 anyway), full f32 on f32 inputs so the f32 equivalence contract
+    # vs the gather impl is unchanged.
+    from .pallas.mask_kernel import scatter_shift_masks
+
     wy1 = frac[..., 0]
     wx1 = frac[..., 1]
     wgt = jnp.stack([(1 - wy1) * (1 - wx1), (1 - wy1) * wx1,
@@ -86,12 +90,12 @@ def build_shift_masks(offsets: jnp.ndarray, aff: jnp.ndarray,
     dx = jnp.asarray([0, 1, 0, 1], jnp.int32)
     sy = q0[..., 0, None] + dy - lo  # (B,H,W,K,4) in [0, S)
     sx = q0[..., 1, None] + dx - lo
-    sidx = (sy * S + sx).reshape(B, H, W, 4 * K)
     cdt = offsets.dtype if offsets.dtype == jnp.bfloat16 else jnp.float32
     w = (wgt * aff[..., None]).reshape(B, H, W, 4 * K).astype(cdt)
-    onehot = jax.nn.one_hot(sidx, S * S, dtype=cdt)
-    M = jnp.einsum("bhwk,bhwks->bshw", w, onehot,
-                   preferred_element_type=jnp.float32)
+    w_t = jnp.transpose(w, (0, 3, 1, 2))  # (B,4K,H,W)
+    sy_t = jnp.transpose(sy.reshape(B, H, W, 4 * K), (0, 3, 1, 2))
+    sx_t = jnp.transpose(sx.reshape(B, H, W, 4 * K), (0, 3, 1, 2))
+    M = scatter_shift_masks(w_t, sy_t, sx_t, S)  # (B,S*S,H,W)
     return M.reshape(B, S, S, H, W).astype(offsets.dtype)
 
 
@@ -206,17 +210,10 @@ def _prop_bwd(prop_time, R, preserve_input, res, g):
     dfix0 = jnp.zeros((B, H, W), jnp.float32)
     (dfeat0, dfix), G = jax.lax.scan(bstep, (g0, dfix0), X, reverse=True)
 
-    Xp = jnp.pad(X, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
-    planes = []
-    for iy in range(S):
-        row = []
-        for ix in range(S):
-            dy, dx_ = lo + iy, lo + ix
-            row.append(jnp.sum(
-                G * Xp[:, :, pad + dy: pad + dy + H,
-                       pad + dx_: pad + dx_ + W], axis=0))
-        planes.append(jnp.stack(row, axis=1))
-    dM = jnp.stack(planes, axis=1)  # (B,S,S,H,W)
+    from .pallas.mask_kernel import shift_correlation
+
+    dM = shift_correlation(G, X, S, lo,
+                           out_dtype=jnp.float32).reshape(B, S, S, H, W)
     dfeat = dfeat0[..., None].astype(in_dtype)
     if feat_fix is None:
         dfix_out = None

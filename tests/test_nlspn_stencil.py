@@ -179,3 +179,59 @@ def test_conf_sample_shifts_matches_gather(rng):
         c, yy + off[..., 0], xx + off[..., 1])[..., 0] ** 2))(conf)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mask_scatter_pallas_interpret_matches_fallback(rng):
+    """scatter_shift_masks Pallas kernels (interpret mode) == the one-hot
+    einsum fallback, forward AND backward (the gather VJP kernel)."""
+    import functools
+    from jax.experimental import pallas as pl
+    import rdfc_gan_tpu.ops.pallas.mask_kernel as mk
+
+    B, K, H, W, S = 2, 36, 16, 20, 8
+    w = jnp.asarray(rng.uniform(-1, 1, (B, K, H, W)).astype(np.float32))
+    sy = jnp.asarray(rng.randint(0, S, (B, K, H, W)).astype(np.int32))
+    sx = jnp.asarray(rng.randint(0, S, (B, K, H, W)).astype(np.int32))
+
+    ref = mk.scatter_shift_masks(w, sy, sx, S)
+
+    def loss(w_):
+        return jnp.sum(jnp.sin(mk.scatter_shift_masks(w_, sy, sx, S)))
+
+    gref = jax.grad(loss)(w)
+    orig = pl.pallas_call
+    mk._FORCE_PALLAS = True
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        got = mk.scatter_shift_masks(w, sy, sx, S)
+        ggot = jax.grad(loss)(w)
+    finally:
+        pl.pallas_call = orig
+        mk._FORCE_PALLAS = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shift_correlation_pallas_interpret_matches_fallback(rng):
+    """shift_correlation Pallas kernel (interpret, Element halo windows) ==
+    the XLA sliced-reduction fallback."""
+    import functools
+    from jax.experimental import pallas as pl
+    import rdfc_gan_tpu.ops.pallas.mask_kernel as mk
+
+    T, B, H, W, S, lo = 3, 2, 16, 20, 8, -3
+    G = jnp.asarray(rng.uniform(-1, 1, (T, B, H, W)).astype(np.float32))
+    X = jnp.asarray(rng.uniform(-1, 1, (T, B, H, W)).astype(np.float32))
+    ref = mk.shift_correlation(G, X, S, lo)
+    orig = pl.pallas_call
+    mk._FORCE_PALLAS = True
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        got = mk.shift_correlation(G, X, S, lo)
+    finally:
+        pl.pallas_call = orig
+        mk._FORCE_PALLAS = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
