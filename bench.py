@@ -9,7 +9,7 @@ denominator is the BASELINE.json north-star proxy — an estimated 8 img/s
 V100 training throughput for this model family at bs4 (PyTorch 1.6 era).
 The north-star target is vs_baseline >= 5.
 
-Round-3 state: ~30.7 img/s/chip (vs_baseline ~3.8) with the W-packed
+Round-3 state: ~31.3 img/s/chip (vs_baseline ~3.9) with the W-packed
 (exact space-to-depth along W, ops/packed.py) full-res stages of
 G_A2B/G_B2A/both discriminators, exact G_B2A path-batching, fused
 stems/heads, and remat OFF (bs8 bf16 fits in v5e HBM since the r2

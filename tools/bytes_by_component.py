@@ -34,6 +34,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--remat", default=None,
                    help="override cfg remat mode (none/selective/full)")
+    p.add_argument("--skip", default="",
+                   help="comma-separated component labels to skip "
+                        "(e.g. G_label: its dilated-R50 grad can take "
+                        ">30 min to compile)")
     args = p.parse_args()
 
     from rdfc_gan_tpu.utils.compile_cache import enable_compile_cache
@@ -45,7 +49,11 @@ def main():
     cfg = _flagship_cfg()
     cfg.merge(dict(batch_size=args.batch))
     if args.remat:
-        cfg.merge(dict(remat=args.remat))
+        # map CLI strings onto the engine's policy values (a raw truthy
+        # string like "none" would read as remat=ALL)
+        policy = {"none": False, "false": False, "full": True,
+                  "true": True}.get(args.remat.lower(), args.remat)
+        cfg.merge(dict(remat=policy))
     eng = build_engine(cfg, is_train=True, steps_per_epoch=100)
     batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, args.batch))
     state = eng.init_state(jax.random.PRNGKey(0), batch)
@@ -81,8 +89,11 @@ def main():
     total_f = total_b = 0.0
     print(f"{'component':14s} {'pass':5s} {'TFLOP':>7s} {'GB':>8s} "
           f"{'BW-floor ms':>12s}")
+    skip = {s for s in args.skip.split(",") if s}
     for case in cases:
         label, xs = case[0], case[1]
+        if label in skip:
+            continue
         name = case[2] if len(case) > 2 else label
         p, s = state.params[name], state.batch_stats[name]
         for kind, fn in (("fwd", apply_fn(name)), ("grad", grad_fn(name))):
