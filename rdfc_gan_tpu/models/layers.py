@@ -34,6 +34,99 @@ def leaky_relu02(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+def _bn_group(x, pack):
+    """(grouped view, reduction axes) for per-ORIGINAL-channel batch stats."""
+    if pack > 1:
+        xg = x.reshape(*x.shape[:-1], x.shape[-1] // pack, pack)
+        return xg, tuple(range(x.ndim - 1)) + (x.ndim,)
+    return x, tuple(range(x.ndim - 1))
+
+
+def _bn_train_fwd_impl(x, scale, bias, eps, pack, axis_name):
+    xg, red = _bn_group(x, pack)
+    mean = jnp.mean(xg.astype(jnp.float32), axis=red)
+    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean2 = jax.lax.pmean(mean2, axis_name)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    a = scale.astype(jnp.float32) * rstd
+    b = bias.astype(jnp.float32) - mean * a
+    af, bf = (jnp.repeat(a, pack), jnp.repeat(b, pack)) if pack > 1 \
+        else (a, b)
+    y = x * af.astype(x.dtype) + bf.astype(x.dtype)
+    return y, mean, var, rstd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _bn_train(x, scale, bias, eps, pack, axis_name):
+    """Train-mode batch norm with an output-residual backward.
+
+    Returns (y, batch_mean, batch_var); mean/var feed the running-stat
+    update only (their cotangents are zero — the update is outside grad).
+    The custom backward reconstructs the normalized activation from the
+    OUTPUT, x_hat = (y - beta) / gamma, so the pre-norm x is neither kept
+    alive into the backward nor re-read by the reduction-gradient chains
+    (one full activation read saved per BN per backward; same trick as
+    ``instance_norm``). SyncBN: the dx correction sums are psum'd over
+    ``axis_name`` with the GLOBAL element count, matching autodiff of the
+    pmean'd forward; the returned scale/bias grads stay per-replica (the
+    data-parallel gradient psum averages them, as with every other param).
+    """
+    y, mean, var, _ = _bn_train_fwd_impl(x, scale, bias, eps, pack,
+                                         axis_name)
+    return y, mean, var
+
+
+def _bn_train_fwd(x, scale, bias, eps, pack, axis_name):
+    y, mean, var, rstd = _bn_train_fwd_impl(x, scale, bias, eps, pack,
+                                            axis_name)
+    return (y, mean, var), (y, rstd, scale, bias)
+
+
+def _bn_train_bwd(eps, pack, axis_name, res, cts):
+    dy = cts[0]  # cotangents for (mean, var) are zero: running update only
+    y, rstd, scale, bias = res
+    sf = scale.astype(jnp.float32)
+    bf = bias.astype(jnp.float32)
+    # x_hat = (y - bias) / scale; guard scale==0 (then y == bias and the
+    # reconstruction — like the gradient itself — is identically zero)
+    ginv = jnp.where(jnp.abs(sf) > 1e-30, 1.0 / sf, 0.0)
+    yg, red = _bn_group(y, pack)
+    dyg, _ = _bn_group(dy, pack)
+    n = 1
+    for ax in red:
+        n *= yg.shape[ax]
+    # per-original-channel sums in f32, one sweep of y/dy
+    s1 = jnp.sum(dyg.astype(jnp.float32), axis=red)            # sum dy
+    sy = jnp.sum((dyg * yg).astype(jnp.float32), axis=red)     # sum dy*y
+    # sum dy * x_hat = (sum dy*y - bias * sum dy) / scale
+    s2 = (sy - bf * s1) * ginv
+    dscale = s2.astype(scale.dtype)
+    dbias = s1.astype(bias.dtype)
+    n_glob = n
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        n_glob = n * jax.lax.axis_size(axis_name)
+    m1, m2 = s1 / n_glob, s2 / n_glob
+    # dx = A*(dy - m1 - x_hat*m2) with x_hat = (y - bias)*ginv collapses to
+    # a per-channel axpby: dx = A*dy + cy*y + c0 — one fused sweep of y/dy
+    A = sf * rstd
+    cy = -A * ginv * m2
+    c0 = A * (ginv * m2 * bf - m1)
+    if pack > 1:
+        A, cy, c0 = (jnp.repeat(A, pack), jnp.repeat(cy, pack),
+                     jnp.repeat(c0, pack))
+    dx = (A.astype(dy.dtype) * dy + cy.astype(dy.dtype) * y
+          + c0.astype(dy.dtype))
+    return dx, dscale, dbias
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
 class BatchNorm(nn.Module):
     """Drop-in BatchNorm that keeps full-resolution traffic in the
     activation dtype.
@@ -75,29 +168,85 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((feat,), jnp.float32))
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = x.astype(jnp.float32)
+            a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+            b = bias.astype(jnp.float32) - mean * a
             if self.pack > 1:
-                xf = xf.reshape(*x.shape[:-1], feat, self.pack)
-                red = tuple(range(x.ndim - 1)) + (x.ndim,)
-            else:
-                red = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=red)
-            mean2 = jnp.mean(jnp.square(xf), axis=red)
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-            if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
-        a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
-        b = bias.astype(jnp.float32) - mean * a
-        if self.pack > 1:
-            a = jnp.repeat(a, self.pack)
-            b = jnp.repeat(b, self.pack)
-        return x * a.astype(x.dtype) + b.astype(x.dtype)
+                a = jnp.repeat(a, self.pack)
+                b = jnp.repeat(b, self.pack)
+            return x * a.astype(x.dtype) + b.astype(x.dtype)
+        y, mean, var = _bn_train(x, scale, bias, self.epsilon, self.pack,
+                                 self.axis_name)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        return y
+
+
+def _in_group(x, pack):
+    """(grouped view, reduction axes) for per-ORIGINAL-channel stats."""
+    if pack > 1:
+        B, H, Wp, C2 = x.shape
+        return x.reshape(B, H, Wp, C2 // pack, pack), (1, 2, 4)
+    return x, (1, 2)
+
+
+def _instance_norm_fwd_impl(x, eps, pack):
+    xg, red = _in_group(x, pack)
+    mean = jnp.mean(xg.astype(jnp.float32), axis=red)
+    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    a = jax.lax.rsqrt(var + eps)  # (B, C)
+    b = -mean * a
+    af, bf = a, b
+    if pack > 1:
+        af = jnp.repeat(af, pack, axis=-1)
+        bf = jnp.repeat(bf, pack, axis=-1)
+    y = x * af[:, None, None, :].astype(x.dtype) \
+        + bf[:, None, None, :].astype(x.dtype)
+    return y, a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _instance_norm(x, eps, pack):
+    return _instance_norm_fwd_impl(x, eps, pack)[0]
+
+
+def _instance_norm_fwd(x, eps, pack):
+    y, a = _instance_norm_fwd_impl(x, eps, pack)
+    # residuals: the OUTPUT y (already live as the next op's input — costs
+    # nothing extra) and the tiny per-(image,channel) scale. The autodiff
+    # backward instead keeps x alive and re-reads it in the two
+    # reduction-gradient chains — one full extra activation read per IN in
+    # the backward, and x's buffer pinned across the whole backward.
+    return y, (y, a)
+
+
+def _instance_norm_bwd(eps, pack, res, dy):
+    y, a = res
+    # exact: y = (x - mu) * a with a = rsqrt(var + eps)  =>
+    # dx = a * (dy - E[dy] - y * E[dy * y])   (E over the instance axes)
+    yg, red = _in_group(y, pack)
+    dyg, _ = _in_group(dy, pack)
+    n = 1
+    for ax in red:
+        n *= yg.shape[ax]
+    s1 = jnp.sum(dyg.astype(jnp.float32), axis=red) / n        # E[dy]
+    s2 = jnp.sum((dyg * yg).astype(jnp.float32), axis=red) / n  # E[dy*y]
+    af, m1, m2 = a, s1, s2
+    if pack > 1:
+        af = jnp.repeat(af, pack, axis=-1)
+        m1 = jnp.repeat(m1, pack, axis=-1)
+        m2 = jnp.repeat(m2, pack, axis=-1)
+    af = af[:, None, None, :]
+    m1 = m1[:, None, None, :]
+    m2 = m2[:, None, None, :]
+    dx = af.astype(dy.dtype) * (
+        dy - m1.astype(dy.dtype) - y * m2.astype(dy.dtype))
+    return (dx,)
+
+
+_instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
@@ -108,29 +257,19 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
     same sweep): jnp.var's two-pass form makes XLA materialize a full f32
     copy of the activation (the round-3 HLO audit found six 280 MB
     f32[2B,H,W/2,128] copies of exactly this cast in the G_B2A step —
-    layers.py:111 was the hottest f32 writer). With the converts fused into
+    this function was the hottest f32 writer). With the converts fused into
     the reduces, nothing f32 ever exists at activation shape and the
     normalization applies as one fused x*a+b in x.dtype.
+
+    Carries a custom VJP whose residual is the OUTPUT (plus the (B,C)
+    scale): dx = a*(dy - E[dy] - y*E[dy*y]), exact including eps. The
+    autodiff backward re-reads the pre-norm activation x in its two
+    reduction-gradient chains; the output form drops both that extra HBM
+    read and x's liveness into the backward (docs/PERF_NOTES.md round-3).
+
     ``pack``: W-packed input (ops/packed.py) — per ORIGINAL channel stats
     (the phase sub-axis reduces with H, W)."""
-    if pack > 1:
-        B, H, Wp, C2 = x.shape
-        xg = x.reshape(B, H, Wp, C2 // pack, pack)
-        red = (1, 2, 4)
-    else:
-        xg = x
-        red = (1, 2)
-    mean = jnp.mean(xg.astype(jnp.float32), axis=red)
-    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
-    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-    a = jax.lax.rsqrt(var + eps)
-    b = -mean * a
-    if pack > 1:
-        a = jnp.repeat(a, pack, axis=-1)
-        b = jnp.repeat(b, pack, axis=-1)
-    a = a[:, None, None, :].astype(x.dtype)
-    b = b[:, None, None, :].astype(x.dtype)
-    return x * a + b
+    return _instance_norm(x, eps, pack)
 
 
 class PackedConv(nn.Module):
