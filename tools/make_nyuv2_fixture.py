@@ -41,6 +41,25 @@ def _scene(rng: np.random.RandomState, h: int = 480, w: int = 640):
         obj_depth = rng.uniform(1.0, 4.0)
         depth = np.where(m, np.minimum(depth, obj_depth - 0.3 * bump), depth)
         labels[m] = rng.randint(0, 13)
+    # box-like furniture: axis-aligned rectangles with tilted planar tops
+    # (tables/cabinets) — adds the planar-patch depth statistics and sharp
+    # rectangular occlusion edges the spheres don't cover
+    for _ in range(rng.randint(1, 4)):
+        y0 = int(rng.uniform(0.3, 0.75) * h)
+        x0 = int(rng.uniform(0.05, 0.7) * w)
+        bh = int(rng.uniform(0.08, 0.3) * h)
+        bw = int(rng.uniform(0.1, 0.35) * w)
+        y1, x1 = min(y0 + bh, h), min(x0 + bw, w)
+        top = rng.uniform(0.9, 3.5)
+        tilt_y = rng.uniform(-0.4, 0.4) / max(bh, 1)
+        tilt_x = rng.uniform(-0.4, 0.4) / max(bw, 1)
+        plane = top + tilt_y * (yy[y0:y1, x0:x1] - y0) \
+            + tilt_x * (xx[y0:y1, x0:x1] - x0)
+        region = depth[y0:y1, x0:x1]
+        depth[y0:y1, x0:x1] = np.minimum(region, plane)
+        labels[y0:y1, x0:x1] = np.where(region > plane,
+                                        rng.randint(0, 13),
+                                        labels[y0:y1, x0:x1])
     depth = np.clip(depth, 0.71, 9.99)
 
     # normals from the depth gradient (camera-space-ish)
