@@ -59,6 +59,166 @@ def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, fp, acc, *,
     out_ref[0] = acc[...]
 
 
+def _kernel_fx(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, x_ref,
+               fp, acc, *, T: int, S: int, lo: int, pad: int,
+               preserve: bool):
+    """Forward + residual emission: identical chain to ``_kernel`` but also
+    stores X[t] = the (substituted) step-t input — the residual stack the
+    hand-written backward's mask-gradient contraction needs
+    (ops/nlspn_stencil._prop_bwd phase 2). Emitting it here makes the
+    backward skip the XLA forward-recompute scan entirely (T more HBM
+    reads of the mask stack)."""
+    H, W = feat_ref.shape[1], feat_ref.shape[2]
+    fp[...] = jnp.zeros_like(fp)
+    acc[...] = feat_ref[0].astype(jnp.float32)
+
+    def body(t, _):
+        feat = acc[...]
+        if preserve:
+            feat = jnp.where(fixmask_ref[0] != 0, fix_ref[0], feat)
+        x_ref[t, 0] = feat.astype(x_ref.dtype)
+        fp[pad:pad + H, pad:pad + W] = feat
+        acc[...] = jnp.zeros((H, W), jnp.float32)
+        for iy in range(S):
+            for ix in range(S):
+                dy, dx = lo + iy, lo + ix
+                m = M_ref[0, iy, ix].astype(jnp.float32)
+                acc[...] += m * fp[pad + dy:pad + dy + H,
+                                   pad + dx:pad + dx + W]
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+    out_ref[0] = acc[...]
+
+
+def _chain_kernel(g_ref, M_ref, fixmask_ref, gout_ref, dfeat_ref, dfix_ref,
+                  accp, gg, dfix_acc, *, T: int, S: int, lo: int, pad: int,
+                  preserve: bool):
+    """Reverse gradient chain with the mask stack VMEM-resident.
+
+    Phase 1 of the two-phase O(T) backward (ops/nlspn_stencil._prop_bwd):
+    iterate t = T-1..0, emitting G[t] (the gradient w.r.t. the step-t
+    output) and chaining gg <- stencil^T(gg) with the preserve-mask
+    substitution. The XLA scan form re-reads the (S,S,H,W) mask stack from
+    HBM on every one of the T steps; here it is read once per batch item.
+
+    The transpose uses scatter-into-padded-accumulator form: the forward
+    reads shifted windows of a padded x, so its transpose adds M_s*gg into
+    the SAME padded windows and keeps only the center (out-of-image
+    contributions land in the border and are discarded — the transpose of
+    zero-padding)."""
+    H, W = g_ref.shape[1], g_ref.shape[2]
+    gg[...] = g_ref[0].astype(jnp.float32)
+    dfix_acc[...] = jnp.zeros_like(dfix_acc)
+
+    def body(i, _):
+        t = T - 1 - i
+        gout_ref[t, 0] = gg[...].astype(gout_ref.dtype)
+        accp[...] = jnp.zeros_like(accp)
+        for iy in range(S):
+            for ix in range(S):
+                dy, dx = lo + iy, lo + ix
+                m = M_ref[0, iy, ix].astype(jnp.float32)
+                accp[pad + dy:pad + dy + H,
+                     pad + dx:pad + dx + W] += m * gg[...]
+        dx_c = accp[pad:pad + H, pad:pad + W]
+        if preserve:
+            fm = fixmask_ref[0] != 0
+            dfix_acc[...] += jnp.where(fm, dx_c, 0.0)
+            dx_c = jnp.where(fm, 0.0, dx_c)
+        gg[...] = dx_c
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+    dfeat_ref[0] = gg[...]
+    dfix_ref[0] = dfix_acc[...]
+
+
+def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
+                      preserve: bool, x_dtype):
+    B, H, W = feat0.shape
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    pad = max(-lo, hi)
+
+    kernel = functools.partial(_kernel_fx, T=T, S=S, lo=lo, pad=pad,
+                               preserve=preserve)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # X written directly in shift_correlation's (T,B,H,W) layout
+            pl.BlockSpec((T, 1, H, W), lambda b: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((T, B, H, W), x_dtype)],
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+                        pltpu.VMEM((H, W), jnp.float32)],
+    )(feat0, M, fix, fixmask)
+
+
+def _pallas_reverse_chain(g0, M, fixmask, T: int, R: int, preserve: bool,
+                          g_dtype):
+    B, H, W = g0.shape
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    pad = max(-lo, hi)
+
+    kernel = functools.partial(_chain_kernel, T=T, S=S, lo=lo, pad=pad,
+                               preserve=preserve)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, 1, H, W), lambda b: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H, W), g_dtype),
+                   jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+                        pltpu.VMEM((H, W), jnp.float32),
+                        pltpu.VMEM((H, W), jnp.float32)],
+    )(g0, M, fixmask)
+
+
+def _bwd_kernels_fit(H: int, W: int, S: int, T: int, pad: int,
+                     stack_bytes: int) -> bool:
+    """VMEM budget for the forward+X / reverse-chain kernels: mask stack
+    (bf16, single-buffered) + the (T,H,W) residual/gradient stack + ~6
+    f32 planes of scratch and small blocks."""
+    need = (S * S * H * W * 2 + T * H * W * stack_bytes
+            + 6 * (H + 2 * pad) * (W + 2 * pad) * 4)
+    return need < 13 * 1024 * 1024
+
+
 def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
     B, H, W = feat0.shape
     lo, hi = shift_window(R)
@@ -107,14 +267,58 @@ def nlspn_stencil_propagate_pallas(feat_init, M, feat_fix, prop_time: int,
     return out[..., None].astype(feat_init.dtype)
 
 
+def _stack_dtype(M):
+    return jnp.bfloat16 if M.dtype == jnp.bfloat16 else jnp.float32
+
+
+def _use_pallas_bwd(M, prop_time, R):
+    lo, hi = shift_window(R)
+    S, pad = hi - lo + 1, max(-lo, hi)
+    H, W = M.shape[3], M.shape[4]
+    return _bwd_kernels_fit(H, W, S, prop_time, pad,
+                            jnp.dtype(_stack_dtype(M)).itemsize)
+
+
 def _fwd(feat_init, M, feat_fix, prop_time, R, preserve_input):
+    if _use_pallas_bwd(M, prop_time, R):
+        # emit the per-step input stack X from the forward kernel itself:
+        # the backward then needs NO forward-recompute scan (T fewer HBM
+        # reads of the mask stack) — X is the only residual phase 2 reads.
+        feat0 = feat_init[..., 0].astype(jnp.float32)
+        fix = feat_fix[..., 0].astype(jnp.float32)
+        fixmask = (fix > 0.0).astype(jnp.float32)
+        out, X = _pallas_forward_x(feat0, M.astype(jnp.bfloat16), fix,
+                                   fixmask, prop_time, R, preserve_input,
+                                   _stack_dtype(M))
+        return out[..., None].astype(feat_init.dtype), (X, M, feat_fix)
     out = nlspn_stencil_propagate_pallas(feat_init, M, feat_fix, prop_time,
                                          R, preserve_input)
     return out, (feat_init, M, feat_fix)
 
 
 def _bwd(prop_time, R, preserve_input, res, g):
-    feat_init, M, feat_fix = res
+    first, M, feat_fix = res
+    if _use_pallas_bwd(M, prop_time, R):
+        from .mask_kernel import shift_correlation
+
+        X = first  # (T,B,H,W) residual stack from _pallas_forward_x
+        B, S, H, W = M.shape[0], M.shape[1], M.shape[3], M.shape[4]
+        lo, _ = shift_window(R)
+        g0 = g[..., 0].astype(jnp.float32)
+        fix = feat_fix[..., 0].astype(jnp.float32)
+        fixmask = (fix > 0.0).astype(jnp.float32)
+        G, dfeat0, dfix = _pallas_reverse_chain(
+            g0, M.astype(jnp.bfloat16), fixmask, prop_time, R,
+            preserve_input, _stack_dtype(M))
+        dM = shift_correlation(G, X, S, lo, out_dtype=jnp.float32)
+        dfeat = dfeat0[..., None].astype(g.dtype)
+        if preserve_input:
+            dfix_out = dfix[..., None].astype(feat_fix.dtype)
+        else:
+            dfix_out = jnp.zeros_like(feat_fix)
+        return dfeat, dM.reshape(B, S, S, H, W).astype(M.dtype), dfix_out
+
+    feat_init = first
 
     def ref(feat_init, M, feat_fix):
         # match the executed forward exactly: the Pallas kernel rounds the

@@ -235,3 +235,52 @@ def test_shift_correlation_pallas_interpret_matches_fallback(rng):
         mk._FORCE_PALLAS = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_backward_kernels_match_xla(rng):
+    """The Pallas reverse-chain backward (forward-emitted X + VMEM-resident
+    mask chain + shift_correlation) == the XLA two-phase custom VJP, for
+    grads w.r.t. feat, M and fix, with and without preserve_input. M is
+    pre-rounded to bf16 so both paths differentiate the identical rounded
+    function (the kernel rounds internally; straight-through convention)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    import rdfc_gan_tpu.ops.pallas.nlspn_kernel as nk
+
+    B, H, W, R, T = 2, 8, 9, 2, 4
+    from rdfc_gan_tpu.ops.nlspn_stencil import shift_window
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    feat = jnp.asarray(rng.normal(size=(B, H, W, 1)), jnp.float32)
+    M = jnp.asarray(rng.normal(size=(B, S, S, H, W)) * 0.2, jnp.float32)
+    M = M.astype(jnp.bfloat16).astype(jnp.float32)
+    fix = jnp.asarray(np.abs(rng.normal(size=(B, H, W, 1))) *
+                      (rng.random((B, H, W, 1)) > 0.4), jnp.float32)
+
+    assert nk._use_pallas_bwd(M, T, R), "test shapes must take the kernels"
+
+    for preserve in (False, True):
+        def loss_p(a, m, fx):
+            return jnp.sum(nk.nlspn_stencil_propagate_pallas(
+                a, m, fx, T, R, preserve) ** 2)
+
+        def loss_x(a, m, fx):
+            return jnp.sum(stencil_propagate(
+                a, m, T, R, feat_fix=fx, preserve_input=preserve) ** 2)
+
+        orig = pl.pallas_call
+        try:
+            pl.pallas_call = functools.partial(orig, interpret=True)
+            outs_p = jax.value_and_grad(loss_p, argnums=(0, 1, 2))(
+                feat, M, fix)
+        finally:
+            pl.pallas_call = orig
+        outs_x = jax.value_and_grad(loss_x, argnums=(0, 1, 2))(feat, M, fix)
+        np.testing.assert_allclose(outs_p[0], outs_x[0], rtol=2e-3,
+                                   err_msg=f"primal preserve={preserve}")
+        for c, p, name in zip(outs_p[1], outs_x[1], ("feat", "M", "fix")):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(p), rtol=2e-3, atol=2e-4,
+                err_msg=f"{name} preserve={preserve}")
