@@ -192,11 +192,21 @@ def _in_group(x, pack):
 
 
 def _instance_norm_fwd_impl(x, eps, pack):
+    """Returns (y, af) — af the per-PACKED-channel (B, C) f32 scale
+    broadcast (the VJP residual). On TPU, when the (H,W,C-tile) plane fits
+    VMEM, the fused Pallas kernel computes stats + normalization in ONE
+    activation read instead of XLA's reduce-fusion + elementwise-fusion
+    two reads (ops/pallas/norm_kernel.py)."""
+    from ..ops.pallas.norm_kernel import (instance_norm_fwd_pallas,
+                                          wants_pallas)
+
+    if wants_pallas(x.shape, x.dtype, pack, 1):
+        return instance_norm_fwd_pallas(x, eps, pack)
     xg, red = _in_group(x, pack)
     mean = jnp.mean(xg.astype(jnp.float32), axis=red)
     mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
     var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-    a = jax.lax.rsqrt(var + eps)  # (B, C)
+    a = jax.lax.rsqrt(var + eps)  # (B, C_orig)
     b = -mean * a
     af, bf = a, b
     if pack > 1:
@@ -204,7 +214,7 @@ def _instance_norm_fwd_impl(x, eps, pack):
         bf = jnp.repeat(bf, pack, axis=-1)
     y = x * af[:, None, None, :].astype(x.dtype) \
         + bf[:, None, None, :].astype(x.dtype)
-    return y, a
+    return y, af
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -223,9 +233,14 @@ def _instance_norm_fwd(x, eps, pack):
 
 
 def _instance_norm_bwd(eps, pack, res, dy):
-    y, a = res
+    y, af = res
     # exact: y = (x - mu) * a with a = rsqrt(var + eps)  =>
     # dx = a * (dy - E[dy] - y * E[dy * y])   (E over the instance axes)
+    from ..ops.pallas.norm_kernel import (instance_norm_bwd_pallas,
+                                          wants_pallas)
+
+    if wants_pallas(dy.shape, dy.dtype, pack, 2):
+        return (instance_norm_bwd_pallas(dy, y, af, pack),)
     yg, red = _in_group(y, pack)
     dyg, _ = _in_group(dy, pack)
     n = 1
@@ -233,9 +248,8 @@ def _instance_norm_bwd(eps, pack, res, dy):
         n *= yg.shape[ax]
     s1 = jnp.sum(dyg.astype(jnp.float32), axis=red) / n        # E[dy]
     s2 = jnp.sum((dyg * yg).astype(jnp.float32), axis=red) / n  # E[dy*y]
-    af, m1, m2 = a, s1, s2
+    m1, m2 = s1, s2
     if pack > 1:
-        af = jnp.repeat(af, pack, axis=-1)
         m1 = jnp.repeat(m1, pack, axis=-1)
         m2 = jnp.repeat(m2, pack, axis=-1)
     af = af[:, None, None, :]

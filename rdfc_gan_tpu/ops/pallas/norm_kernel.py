@@ -1,0 +1,221 @@
+"""Pallas TPU kernels: fused InstanceNorm forward and backward.
+
+XLA schedules an instance norm as a reduce fusion (one full read of the
+activation for the one-pass E[x]/E[x^2] statistics) followed by an
+elementwise fusion (a second full read, plus the write of y) — three
+activation-sized HBM moves per norm. The forward kernel here keeps the
+whole (H, W, C-tile) plane VMEM-resident: statistics and normalization in
+ONE read plus the write. The backward is the same story for the
+output-residual VJP (models/layers._instance_norm_bwd): XLA reads dy and y
+twice each (reduction fusion + elementwise fusion); the kernel reads both
+once.
+
+Reference semantics being preserved: torch nn.InstanceNorm2d(affine=False)
+as used throughout the reference generators (RDF-GAN/lib/model/
+networks.py norm_layer='instance'); statistics per (image, ORIGINAL
+channel) including the W-packed layout's phase sub-axis (ops/packed.py).
+
+Grid: (B, C-tiles, H-tiles). The full-plane input block's index map
+ignores the H-tile coordinate, so it is fetched once per (b, c) and
+single-buffered (pl.Buffered(1) — the plane IS the VMEM budget); the
+output streams out in H-tiles to keep the in+out footprint bounded.
+Statistics are computed once per plane (at H-tile 0) into a scratch that
+persists across the sequential H-tile iterations. The W-packed pair merge
+(stats per original channel = mean over the two phase lanes) runs as one
+(2,Ct)@(Ct,Ct) matmul against an iota-built pairing matrix — no strided
+lane slicing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# test hook: force the Pallas path on CPU (with interpret-mode pallas_call
+# monkeypatched in) so the kernels are exercised in-suite
+_FORCE_PALLAS = False
+
+_LANES = 128
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _sublane(dtype) -> int:
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _pad_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pick_bh(H: int) -> int:
+    for bh in (16, 8, 4, 2):
+        if H % bh == 0:
+            return bh
+    return H
+
+
+def _plan(shape, dtype, pack: int, n_full_blocks: int):
+    """(Ct, bh, buffers) if the kernel fits VMEM, else None.
+    ``n_full_blocks`` = how many full (H,W,Ct) planes the kernel holds
+    (1 fwd: x; 2 bwd: dy, y). ``buffers``: 2 = normal double-buffered
+    pipeline (plane DMA overlaps the previous plane's compute — the kernel
+    is DMA-bound, so this is the fast mode); 1 = single-buffered fallback
+    when two copies don't fit (large planes; serializes DMA and compute,
+    still one read fewer than XLA)."""
+    B, H, W, C = shape
+    if C % pack:
+        return None
+    if C > _LANES and C % _LANES:
+        return None
+    Ct = min(C, _LANES)
+    if Ct % pack:
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    wp = _pad_up(W, _sublane(dtype))
+    bh = _pick_bh(H)
+    plane = H * wp * _LANES * itemsize  # lane-padded VMEM footprint
+    tile = bh * wp * _LANES * itemsize
+    # chunked f32 stats transients (ch=8 rows, two arrays) + stats scratch
+    transients = 2 * 8 * wp * _LANES * 4
+    fixed = 2 * tile + transients
+    for buffers in (2, 1):
+        if buffers * n_full_blocks * plane + fixed < _VMEM_BUDGET:
+            return Ct, bh, buffers
+    return None
+
+
+def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not (on_tpu or _FORCE_PALLAS):
+        return False
+    return _plan(shape, dtype, pack, n_full_blocks) is not None
+
+
+def _pair_merge(s, pack: int, Ct: int):
+    """s: (2, Ct) per-packed-channel sums -> per-ORIGINAL-channel sums
+    broadcast back over the pack lanes, via an iota pairing matmul."""
+    if pack == 1:
+        return s
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Ct, Ct), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Ct, Ct), 1)
+    P = (ii // pack == jj // pack).astype(jnp.float32)
+    return jnp.dot(s, P, preferred_element_type=jnp.float32)
+
+
+def _chunk_sums(ref, H: int, Ct: int, with_second=None):
+    """One-pass E-sums over a (1,H,W,Ct) block in f32, 8-row chunks (bounds
+    the Mosaic-stack f32 transients to ~2.5 MB at full-res W)."""
+    s = jnp.zeros((2, Ct), jnp.float32)
+    for h0 in range(0, H, 8):
+        hs = min(8, H - h0)
+        xa = ref[0, h0:h0 + hs].astype(jnp.float32)
+        if with_second is None:
+            s = s + jnp.stack([jnp.sum(xa, axis=(0, 1)),
+                               jnp.sum(xa * xa, axis=(0, 1))])
+        else:
+            ya = with_second[0, h0:h0 + hs].astype(jnp.float32)
+            s = s + jnp.stack([jnp.sum(xa, axis=(0, 1)),
+                               jnp.sum(xa * ya, axis=(0, 1))])
+    return s
+
+
+def _in_fwd_kernel(x_ref, y_ref, a_ref, stats, *, eps: float, pack: int,
+                   H: int, Ct: int, bh: int, n: int):
+    h = pl.program_id(2)
+
+    @pl.when(h == 0)
+    def _():
+        s = _chunk_sums(x_ref, H, Ct)
+        s = _pair_merge(s, pack, Ct) / n
+        m, m2 = s[0], s[1]
+        var = jnp.maximum(m2 - m * m, 0.0)
+        a = jax.lax.rsqrt(var + eps)
+        stats[0] = a
+        stats[1] = -m * a
+        a_ref[0] = a
+
+    a = stats[0].astype(x_ref.dtype)
+    b = stats[1].astype(x_ref.dtype)
+    xa = x_ref[0, pl.ds(h * bh, bh)]
+    y_ref[0] = xa * a + b
+
+
+def _in_bwd_kernel(dy_ref, y_ref, af_ref, dx_ref, stats, *, pack: int,
+                   H: int, Ct: int, bh: int, n: int):
+    h = pl.program_id(2)
+
+    @pl.when(h == 0)
+    def _():
+        s = _chunk_sums(dy_ref, H, Ct, with_second=y_ref)
+        stats[...] = _pair_merge(s, pack, Ct) / n
+
+    # match the XLA backward's dtype contract (models/layers.
+    # _instance_norm_bwd): the elementwise combine runs in dy.dtype with
+    # the f32 stats rounded once
+    m1 = stats[0].astype(dy_ref.dtype)
+    m2 = stats[1].astype(dy_ref.dtype)
+    af = af_ref[0].astype(dy_ref.dtype)
+    dyc = dy_ref[0, pl.ds(h * bh, bh)]
+    yc = y_ref[0, pl.ds(h * bh, bh)]
+    dx_ref[0] = af * (dyc - m1 - yc * m2)
+
+
+def instance_norm_fwd_pallas(x, eps: float, pack: int):
+    """(y, af): af is the per-PACKED-channel (B, C) f32 scale broadcast —
+    the output-residual VJP's residual."""
+    B, H, W, C = x.shape
+    Ct, bh, buffers = _plan(x.shape, x.dtype, pack, 1)
+    n = H * W * pack
+    kernel = functools.partial(_in_fwd_kernel, eps=eps, pack=pack, H=H,
+                               Ct=Ct, bh=bh, n=n)
+    y, af = pl.pallas_call(
+        kernel,
+        grid=(B, C // Ct, H // bh),
+        in_specs=[
+            pl.BlockSpec((1, H, W, Ct), lambda b, c, h: (b, 0, 0, c),
+                         pipeline_mode=pl.Buffered(buffer_count=buffers),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, W, Ct), lambda b, c, h: (b, h, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ct), lambda b, c, h: (b, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, Ct), jnp.float32)],
+    )(x)
+    return y, af
+
+
+def instance_norm_bwd_pallas(dy, y, af, pack: int):
+    """dx = af * (dy - E[dy] - y * E[dy*y]) with per-original-channel
+    E over the instance axes — one read each of dy and y."""
+    B, H, W, C = dy.shape
+    Ct, bh, buffers = _plan(dy.shape, dy.dtype, pack, 2)
+    n = H * W * pack
+    kernel = functools.partial(_in_bwd_kernel, pack=pack, H=H, Ct=Ct,
+                               bh=bh, n=n)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C // Ct, H // bh),
+        in_specs=[
+            pl.BlockSpec((1, H, W, Ct), lambda b, c, h: (b, 0, 0, c),
+                         pipeline_mode=pl.Buffered(buffer_count=buffers),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, Ct), lambda b, c, h: (b, 0, 0, c),
+                         pipeline_mode=pl.Buffered(buffer_count=buffers),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ct), lambda b, c, h: (b, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, W, Ct), lambda b, c, h: (b, h, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dy.dtype),
+        scratch_shapes=[pltpu.VMEM((2, Ct), jnp.float32)],
+    )(dy, y, af)
