@@ -89,6 +89,10 @@ def _plan(shape, dtype, pack: int, n_full_blocks: int):
 
 
 def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
+    import os
+
+    if os.environ.get("RDFC_DISABLE_PALLAS_IN"):  # ops-level escape hatch
+        return False
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (on_tpu or _FORCE_PALLAS):
         return False
