@@ -55,8 +55,22 @@ def main():
 
     # warmup / compile (hard_sync: block_until_ready is unreliable on
     # tunneled PJRT backends — force a host readback instead)
-    state, stats = engine.train_step(state, batch, rng)
-    hard_sync(state.params)
+    try:
+        state, stats = engine.train_step(state, batch, rng)
+        hard_sync(state.params)
+    except Exception as e:
+        # never lose the round's bench artifact to an optional-kernel
+        # lowering failure: disable the Pallas norm path and rebuild
+        import os
+        import sys
+
+        print(f"[bench] first step failed ({type(e).__name__}: {e}); "
+              f"retrying with RDFC_DISABLE_PALLAS_IN=1", file=sys.stderr)
+        os.environ["RDFC_DISABLE_PALLAS_IN"] = "1"
+        engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
+        state = engine.init_state(rng, batch)
+        state, stats = engine.train_step(state, batch, rng)
+        hard_sync(state.params)
 
     iters = 20
     t0 = time.perf_counter()

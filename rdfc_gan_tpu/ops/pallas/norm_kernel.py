@@ -16,9 +16,11 @@ networks.py norm_layer='instance'); statistics per (image, ORIGINAL
 channel) including the W-packed layout's phase sub-axis (ops/packed.py).
 
 Grid: (B, C-tiles, H-tiles). The full-plane input block's index map
-ignores the H-tile coordinate, so it is fetched once per (b, c) and
-single-buffered (pl.Buffered(1) — the plane IS the VMEM budget); the
-output streams out in H-tiles to keep the in+out footprint bounded.
+ignores the H-tile coordinate, so it is fetched once per (b, c) —
+double-buffered when two planes fit VMEM (the kernel is DMA-bound; the
+next plane's fetch overlaps this plane's compute), single-buffered
+otherwise; the output streams out in H-tiles to keep the footprint
+bounded.
 Statistics are computed once per plane (at H-tile 0) into a scratch that
 persists across the sequential H-tile iterations. The W-packed pair merge
 (stats per original channel = mean over the two phase lanes) runs as one
@@ -101,7 +103,8 @@ def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
 
 def _pair_merge(s, pack: int, Ct: int):
     """s: (2, Ct) per-packed-channel sums -> per-ORIGINAL-channel sums
-    broadcast back over the pack lanes, via an iota pairing matmul."""
+    broadcast back over the pack lanes, via an iota pairing matmul (no
+    strided lane slicing, and everything stays >= 2-D for Mosaic)."""
     if pack == 1:
         return s
     ii = jax.lax.broadcasted_iota(jnp.int32, (Ct, Ct), 0)
@@ -110,59 +113,59 @@ def _pair_merge(s, pack: int, Ct: int):
     return jnp.dot(s, P, preferred_element_type=jnp.float32)
 
 
-def _chunk_sums(ref, H: int, Ct: int, with_second=None):
+def _chunk_sums(ref, H: int, W: int, Ct: int, with_second=None):
     """One-pass E-sums over a (1,H,W,Ct) block in f32, 8-row chunks (bounds
-    the Mosaic-stack f32 transients to ~2.5 MB at full-res W)."""
+    the Mosaic-stack f32 transients to ~2.5 MB at full-res W). Returns
+    (2, Ct): row 0 = sum x, row 1 = sum x*x (or x*y)."""
     s = jnp.zeros((2, Ct), jnp.float32)
     for h0 in range(0, H, 8):
         hs = min(8, H - h0)
-        xa = ref[0, h0:h0 + hs].astype(jnp.float32)
+        xa = ref[0, h0:h0 + hs].astype(jnp.float32).reshape(hs * W, Ct)
         if with_second is None:
-            s = s + jnp.stack([jnp.sum(xa, axis=(0, 1)),
-                               jnp.sum(xa * xa, axis=(0, 1))])
+            ya = xa
         else:
-            ya = with_second[0, h0:h0 + hs].astype(jnp.float32)
-            s = s + jnp.stack([jnp.sum(xa, axis=(0, 1)),
-                               jnp.sum(xa * ya, axis=(0, 1))])
+            ya = with_second[0, h0:h0 + hs].astype(
+                jnp.float32).reshape(hs * W, Ct)
+        s = s + jnp.concatenate(
+            [jnp.sum(xa, axis=0, keepdims=True),
+             jnp.sum(xa * ya, axis=0, keepdims=True)], axis=0)
     return s
 
 
 def _in_fwd_kernel(x_ref, y_ref, a_ref, stats, *, eps: float, pack: int,
-                   H: int, Ct: int, bh: int, n: int):
+                   H: int, W: int, Ct: int, bh: int, n: int):
     h = pl.program_id(2)
 
     @pl.when(h == 0)
     def _():
-        s = _chunk_sums(x_ref, H, Ct)
-        s = _pair_merge(s, pack, Ct) / n
-        m, m2 = s[0], s[1]
-        var = jnp.maximum(m2 - m * m, 0.0)
+        s = _pair_merge(_chunk_sums(x_ref, H, W, Ct), pack, Ct) / n
+        m = s[0:1]                                  # (1, Ct)
+        var = jnp.maximum(s[1:2] - m * m, 0.0)
         a = jax.lax.rsqrt(var + eps)
-        stats[0] = a
-        stats[1] = -m * a
-        a_ref[0] = a
+        stats[...] = jnp.concatenate([a, -m * a], axis=0)
+        a_ref[...] = a
 
-    a = stats[0].astype(x_ref.dtype)
-    b = stats[1].astype(x_ref.dtype)
-    xa = x_ref[0, pl.ds(h * bh, bh)]
+    a = stats[0:1].reshape(1, 1, Ct).astype(x_ref.dtype)
+    b = stats[1:2].reshape(1, 1, Ct).astype(x_ref.dtype)
+    xa = x_ref[0, pl.ds(h * bh, bh)]                # (bh, W, Ct)
     y_ref[0] = xa * a + b
 
 
 def _in_bwd_kernel(dy_ref, y_ref, af_ref, dx_ref, stats, *, pack: int,
-                   H: int, Ct: int, bh: int, n: int):
+                   H: int, W: int, Ct: int, bh: int, n: int):
     h = pl.program_id(2)
 
     @pl.when(h == 0)
     def _():
-        s = _chunk_sums(dy_ref, H, Ct, with_second=y_ref)
+        s = _chunk_sums(dy_ref, H, W, Ct, with_second=y_ref)
         stats[...] = _pair_merge(s, pack, Ct) / n
 
     # match the XLA backward's dtype contract (models/layers.
     # _instance_norm_bwd): the elementwise combine runs in dy.dtype with
     # the f32 stats rounded once
-    m1 = stats[0].astype(dy_ref.dtype)
-    m2 = stats[1].astype(dy_ref.dtype)
-    af = af_ref[0].astype(dy_ref.dtype)
+    m1 = stats[0:1].reshape(1, 1, Ct).astype(dy_ref.dtype)
+    m2 = stats[1:2].reshape(1, 1, Ct).astype(dy_ref.dtype)
+    af = af_ref[...].reshape(1, 1, Ct).astype(dy_ref.dtype)
     dyc = dy_ref[0, pl.ds(h * bh, bh)]
     yc = y_ref[0, pl.ds(h * bh, bh)]
     dx_ref[0] = af * (dyc - m1 - yc * m2)
@@ -175,7 +178,7 @@ def instance_norm_fwd_pallas(x, eps: float, pack: int):
     Ct, bh, buffers = _plan(x.shape, x.dtype, pack, 1)
     n = H * W * pack
     kernel = functools.partial(_in_fwd_kernel, eps=eps, pack=pack, H=H,
-                               Ct=Ct, bh=bh, n=n)
+                               W=W, Ct=Ct, bh=bh, n=n)
     y, af = pl.pallas_call(
         kernel,
         grid=(B, C // Ct, H // bh),
@@ -203,8 +206,8 @@ def instance_norm_bwd_pallas(dy, y, af, pack: int):
     B, H, W, C = dy.shape
     Ct, bh, buffers = _plan(dy.shape, dy.dtype, pack, 2)
     n = H * W * pack
-    kernel = functools.partial(_in_bwd_kernel, pack=pack, H=H, Ct=Ct,
-                               bh=bh, n=n)
+    kernel = functools.partial(_in_bwd_kernel, pack=pack, H=H, W=W,
+                               Ct=Ct, bh=bh, n=n)
     return pl.pallas_call(
         kernel,
         grid=(B, C // Ct, H // bh),
