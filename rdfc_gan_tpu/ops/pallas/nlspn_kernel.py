@@ -160,8 +160,11 @@ def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
         out_specs=[
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            # X written directly in shift_correlation's (T,B,H,W) layout
+            # X written directly in shift_correlation's (T,B,H,W) layout;
+            # single-buffered: the stack is ~T/2 x the mask budget and its
+            # DMA-out (~us) is noise next to the T-step chain compute
             pl.BlockSpec((T, 1, H, W), lambda b: (0, b, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, H, W), jnp.float32),
@@ -194,6 +197,7 @@ def _pallas_reverse_chain(g0, M, fixmask, T: int, R: int, preserve: bool,
         ],
         out_specs=[
             pl.BlockSpec((T, 1, H, W), lambda b: (0, b, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
