@@ -49,24 +49,27 @@ def main():
 
     batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, batch_size))
     rng = jax.random.PRNGKey(0)
-    state = engine.init_state(rng, batch)
 
     from rdfc_gan_tpu.utils.sync import hard_sync
 
     # warmup / compile (hard_sync: block_until_ready is unreliable on
-    # tunneled PJRT backends — force a host readback instead)
+    # tunneled PJRT backends — force a host readback instead). init_state
+    # is inside the guard too: it jit-runs the train-mode forward, which
+    # already dispatches the optional Pallas kernels.
     try:
+        state = engine.init_state(rng, batch)
         state, stats = engine.train_step(state, batch, rng)
         hard_sync(state.params)
     except Exception as e:
         # never lose the round's bench artifact to an optional-kernel
-        # lowering failure: disable the Pallas norm path and rebuild
+        # lowering failure: disable the Pallas fast paths and rebuild
         import os
         import sys
 
         print(f"[bench] first step failed ({type(e).__name__}: {e}); "
-              f"retrying with RDFC_DISABLE_PALLAS_IN=1", file=sys.stderr)
+              f"retrying with Pallas fast paths disabled", file=sys.stderr)
         os.environ["RDFC_DISABLE_PALLAS_IN"] = "1"
+        os.environ["RDFC_DISABLE_PALLAS_NLSPN_BWD"] = "1"
         engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
         state = engine.init_state(rng, batch)
         state, stats = engine.train_step(state, batch, rng)

@@ -247,7 +247,11 @@ def _instance_norm_bwd(eps, pack, res, dy):
     for ax in red:
         n *= yg.shape[ax]
     s1 = jnp.sum(dyg.astype(jnp.float32), axis=red) / n        # E[dy]
-    s2 = jnp.sum((dyg * yg).astype(jnp.float32), axis=red) / n  # E[dy*y]
+    # f32 multiply (not bf16-multiply-then-cast): matches the Pallas fused
+    # backward's precision so the two dispatch paths agree to reduction
+    # order; the converts fuse into the reduce either way (no extra bytes)
+    s2 = jnp.sum(dyg.astype(jnp.float32) * yg.astype(jnp.float32),
+                 axis=red) / n                                  # E[dy*y]
     m1, m2 = s1, s2
     if pack > 1:
         m1 = jnp.repeat(m1, pack, axis=-1)

@@ -32,8 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..nlspn_stencil import shift_window, stencil_propagate
 
 
-def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, fp, acc, *,
-            T: int, S: int, lo: int, pad: int, preserve: bool):
+def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, *rest,
+            T: int, S: int, lo: int, pad: int, preserve: bool,
+            emit_x: bool = False):
+    """Propagation chain; with ``emit_x`` also stores X[t] = the
+    (substituted) step-t input — the residual stack the hand-written
+    backward's mask-gradient contraction needs (ops/nlspn_stencil.
+    _prop_bwd phase 2). Emitting it in the forward lets the backward skip
+    the XLA forward-recompute scan entirely (T more HBM reads of the mask
+    stack). One body for both variants so the differentiated forward can
+    never drift from the primal."""
+    x_ref = rest[0] if emit_x else None
+    fp, acc = rest[-2:]
     H, W = feat_ref.shape[1], feat_ref.shape[2]
     # zero the padded scratch once; borders stay zero (CUDA zero-pad parity)
     fp[...] = jnp.zeros_like(fp)
@@ -43,41 +53,11 @@ def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, fp, acc, *,
         feat = acc[...]
         if preserve:
             feat = jnp.where(fixmask_ref[0] != 0, fix_ref[0], feat)
+        if emit_x:
+            x_ref[t, 0] = feat.astype(x_ref.dtype)
         fp[pad:pad + H, pad:pad + W] = feat
         # in-place ref accumulation: a functional acc chain keeps all S*S
         # unrolled slice temporaries live on the Mosaic stack (VMEM OOM)
-        acc[...] = jnp.zeros((H, W), jnp.float32)
-        for iy in range(S):
-            for ix in range(S):
-                dy, dx = lo + iy, lo + ix
-                m = M_ref[0, iy, ix].astype(jnp.float32)
-                acc[...] += m * fp[pad + dy:pad + dy + H,
-                                   pad + dx:pad + dx + W]
-        return 0
-
-    jax.lax.fori_loop(0, T, body, 0)
-    out_ref[0] = acc[...]
-
-
-def _kernel_fx(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, x_ref,
-               fp, acc, *, T: int, S: int, lo: int, pad: int,
-               preserve: bool):
-    """Forward + residual emission: identical chain to ``_kernel`` but also
-    stores X[t] = the (substituted) step-t input — the residual stack the
-    hand-written backward's mask-gradient contraction needs
-    (ops/nlspn_stencil._prop_bwd phase 2). Emitting it here makes the
-    backward skip the XLA forward-recompute scan entirely (T more HBM
-    reads of the mask stack)."""
-    H, W = feat_ref.shape[1], feat_ref.shape[2]
-    fp[...] = jnp.zeros_like(fp)
-    acc[...] = feat_ref[0].astype(jnp.float32)
-
-    def body(t, _):
-        feat = acc[...]
-        if preserve:
-            feat = jnp.where(fixmask_ref[0] != 0, fix_ref[0], feat)
-        x_ref[t, 0] = feat.astype(x_ref.dtype)
-        fp[pad:pad + H, pad:pad + W] = feat
         acc[...] = jnp.zeros((H, W), jnp.float32)
         for iy in range(S):
             for ix in range(S):
@@ -141,8 +121,8 @@ def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
     S = hi - lo + 1
     pad = max(-lo, hi)
 
-    kernel = functools.partial(_kernel_fx, T=T, S=S, lo=lo, pad=pad,
-                               preserve=preserve)
+    kernel = functools.partial(_kernel, T=T, S=S, lo=lo, pad=pad,
+                               preserve=preserve, emit_x=True)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -276,6 +256,10 @@ def _stack_dtype(M):
 
 
 def _use_pallas_bwd(M, prop_time, R):
+    import os
+
+    if os.environ.get("RDFC_DISABLE_PALLAS_NLSPN_BWD"):  # escape hatch
+        return False
     lo, hi = shift_window(R)
     S, pad = hi - lo + 1, max(-lo, hi)
     H, W = M.shape[3], M.shape[4]

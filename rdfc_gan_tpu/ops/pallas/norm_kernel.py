@@ -160,9 +160,9 @@ def _in_bwd_kernel(dy_ref, y_ref, af_ref, dx_ref, stats, *, pack: int,
         s = _chunk_sums(dy_ref, H, W, Ct, with_second=y_ref)
         stats[...] = _pair_merge(s, pack, Ct) / n
 
-    # match the XLA backward's dtype contract (models/layers.
-    # _instance_norm_bwd): the elementwise combine runs in dy.dtype with
-    # the f32 stats rounded once
+    # dtype contract shared with the XLA backward (models/layers.
+    # _instance_norm_bwd): reductions multiply in f32, the elementwise
+    # combine runs in dy.dtype with the f32 stats rounded once
     m1 = stats[0:1].reshape(1, 1, Ct).astype(dy_ref.dtype)
     m2 = stats[1:2].reshape(1, 1, Ct).astype(dy_ref.dtype)
     af = af_ref[...].reshape(1, 1, Ct).astype(dy_ref.dtype)

@@ -284,3 +284,58 @@ def test_pallas_backward_kernels_match_xla(rng):
             np.testing.assert_allclose(
                 np.asarray(c), np.asarray(p), rtol=2e-3, atol=2e-4,
                 err_msg=f"{name} preserve={preserve}")
+
+
+def test_pallas_backward_kernels_bf16_stacks(rng):
+    """The PRODUCTION precision regime: bf16 masks make _stack_dtype emit
+    the X/G residual stacks in bf16. Gradients must still track the f32
+    XLA two-phase backward within bf16 rounding tolerances."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    import rdfc_gan_tpu.ops.pallas.nlspn_kernel as nk
+    from rdfc_gan_tpu.ops.nlspn_stencil import shift_window
+
+    B, H, W, R, T = 2, 8, 9, 2, 4
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    feat = jnp.asarray(rng.normal(size=(B, H, W, 1)), jnp.float32)
+    M16 = (jnp.asarray(rng.normal(size=(B, S, S, H, W)) * 0.2)
+           .astype(jnp.bfloat16))
+    fix = jnp.asarray(np.abs(rng.normal(size=(B, H, W, 1))) *
+                      (rng.random((B, H, W, 1)) > 0.4), jnp.float32)
+    assert nk._stack_dtype(M16) == jnp.bfloat16
+
+    def loss_p(a, m, fx):
+        return jnp.sum(nk.nlspn_stencil_propagate_pallas(
+            a, m, fx, T, R, True) ** 2)
+
+    def loss_x(a, m, fx):
+        return jnp.sum(stencil_propagate(
+            a, m.astype(jnp.float32), T, R, feat_fix=fx,
+            preserve_input=True) ** 2)
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(feat, M16, fix)
+    finally:
+        pl.pallas_call = orig
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(feat, M16, fix)
+    # dfeat/dfix chain stays f32 in-kernel: tight elementwise. dM sums
+    # bf16-rounded G*X products, so individual entries that CANCEL keep
+    # an absolute residue of the term scale x bf16 eps (0.17% of 9216
+    # entries here) — the honest metric is relative L2 error of the
+    # whole mask gradient, plus elementwise agreement at term-scale atol.
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=2e-3, atol=2e-4, err_msg="feat")
+    dm_p = np.asarray(gp[1], np.float32)
+    dm_x = np.asarray(gx[1], np.float32)
+    rel_l2 = np.linalg.norm(dm_p - dm_x) / np.linalg.norm(dm_x)
+    assert rel_l2 < 1e-2, f"dM relative L2 error {rel_l2:.4f}"
+    scale = np.abs(dm_x).max()
+    np.testing.assert_allclose(dm_p, dm_x, rtol=2e-2, atol=0.02 * scale,
+                               err_msg="M (term-scale atol)")
+    np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]),
+                               rtol=2e-3, atol=2e-4, err_msg="fix")
