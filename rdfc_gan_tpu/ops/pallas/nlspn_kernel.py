@@ -255,6 +255,33 @@ def _stack_dtype(M):
     return jnp.bfloat16 if M.dtype == jnp.bfloat16 else jnp.float32
 
 
+# one-time lowering self-probe verdict for the backward kernels (None =
+# not yet probed) — a failure falls back to the XLA two-phase VJP instead
+# of failing every NLSPN train step on that chip/toolchain.
+_BWD_LOWERING_OK = None
+
+
+def _bwd_lowering_ok() -> bool:
+    global _BWD_LOWERING_OK
+    if _BWD_LOWERING_OK is None:
+        try:
+            g0 = jnp.zeros((1, 16, 16), jnp.float32)
+            M = jnp.zeros((1, 8, 8, 16, 16), jnp.bfloat16)
+            fm = jnp.zeros((1, 16, 16), jnp.float32)
+            jax.jit(lambda a, b, c: _pallas_reverse_chain(
+                a, b, c, 3, 2, True, jnp.bfloat16)[0]) \
+                .lower(g0, M, fm).compile()
+            _BWD_LOWERING_OK = True
+        except Exception as e:  # pragma: no cover - chip/toolchain specific
+            import sys
+
+            print(f"nlspn_kernel: backward probe failed to compile "
+                  f"({type(e).__name__}); using the XLA two-phase VJP",
+                  file=sys.stderr)
+            _BWD_LOWERING_OK = False
+    return _BWD_LOWERING_OK
+
+
 def _use_pallas_bwd(M, prop_time, R):
     import os
 
@@ -263,8 +290,14 @@ def _use_pallas_bwd(M, prop_time, R):
     lo, hi = shift_window(R)
     S, pad = hi - lo + 1, max(-lo, hi)
     H, W = M.shape[3], M.shape[4]
-    return _bwd_kernels_fit(H, W, S, prop_time, pad,
-                            jnp.dtype(_stack_dtype(M)).itemsize)
+    if not _bwd_kernels_fit(H, W, S, prop_time, pad,
+                            jnp.dtype(_stack_dtype(M)).itemsize):
+        return False
+    if jax.default_backend() in ("cpu", "gpu"):
+        # only reachable with interpret-mode pallas monkeypatched in
+        # (the primal dispatch already gated on TPU) — no probe needed
+        return True
+    return _bwd_lowering_ok()
 
 
 def _fwd(feat_init, M, feat_fix, prop_time, R, preserve_input):

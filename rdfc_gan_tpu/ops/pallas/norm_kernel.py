@@ -90,6 +90,31 @@ def _plan(shape, dtype, pack: int, n_full_blocks: int):
     return None
 
 
+# one-time lowering self-probe verdict (None = not yet probed). Keeps a
+# Mosaic regression on some future chip/toolchain from failing the whole
+# train step / driver compile check: if the tiny probe instance does not
+# compile, the dispatch silently falls back to the XLA path everywhere.
+_LOWERING_OK = None
+
+
+def _lowering_ok() -> bool:
+    global _LOWERING_OK
+    if _LOWERING_OK is None:
+        try:
+            x = jnp.zeros((1, 16, 16, 128), jnp.bfloat16)
+            jax.jit(lambda v: instance_norm_fwd_pallas(v, 1e-5, 2)[0]) \
+                .lower(x).compile()
+            _LOWERING_OK = True
+        except Exception as e:  # pragma: no cover - chip/toolchain specific
+            import sys
+
+            print(f"norm_kernel: Pallas probe failed to compile "
+                  f"({type(e).__name__}); using the XLA instance-norm path",
+                  file=sys.stderr)
+            _LOWERING_OK = False
+    return _LOWERING_OK
+
+
 def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
     import os
 
@@ -98,7 +123,9 @@ def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (on_tpu or _FORCE_PALLAS):
         return False
-    return _plan(shape, dtype, pack, n_full_blocks) is not None
+    if _plan(shape, dtype, pack, n_full_blocks) is None:
+        return False
+    return _FORCE_PALLAS or _lowering_ok()
 
 
 def _pair_merge(s, pack: int, Ct: int):
