@@ -42,7 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 _FORCE_PALLAS = False
 
 _LANES = 128
-_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _vmem_budget() -> int:
+    """Planning budget for plane-resident blocks. Default 13 MiB targets the
+    conservative ~16 MiB/core figure; chips with larger VMEM (v5e exposes
+    far more to Mosaic) can raise it via RDFC_PALLAS_IN_VMEM_MB so the
+    full-res (224, 152, 128) packed backward planes (dy + y = ~18 MiB)
+    stay on the one-read kernel instead of the two-read XLA fallback. A
+    too-large value fails at Mosaic compile, which the train-step caller
+    survives via the RDFC_DISABLE_PALLAS_IN retry (bench.py) — A/B on the
+    real chip before changing the default."""
+    import os
+
+    return int(os.environ.get("RDFC_PALLAS_IN_VMEM_MB", "13")) * 1024 * 1024
 
 
 def _sublane(dtype) -> int:
@@ -85,7 +98,7 @@ def _plan(shape, dtype, pack: int, n_full_blocks: int):
     transients = 2 * 8 * wp * _LANES * 4
     fixed = 2 * tile + transients
     for buffers in (2, 1):
-        if buffers * n_full_blocks * plane + fixed < _VMEM_BUDGET:
+        if buffers * n_full_blocks * plane + fixed < _vmem_budget():
             return Ct, bh, buffers
     return None
 
