@@ -1,0 +1,72 @@
+"""AOT serving export (tools/export_model.py): the serialized jax.export
+artifact must deserialize standalone and reproduce the live engine's
+forward_test outputs — the serving analog of the reference's
+``model(**data) -> pred_depth`` contract (RDFC-GAN/lib/models/base.py:156).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+sys.path.insert(0, os.path.abspath(TOOLS))
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    from export_model import main
+
+    out = str(tmp_path_factory.mktemp("exp") / "tiny.jaxexp")
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "rdfc_gan_tiny.yaml")
+    rc = main(["--model_cfg_path", cfg, "--out", out, "--batch_size", "2",
+               "--out_height", "32", "--out_width", "48", "--check"])
+    assert rc == 0
+    return out
+
+
+def test_export_roundtrip_runs_standalone(exported):
+    """Deserialize from bytes alone and call it — no engine objects."""
+    from jax import export as jexport
+
+    with open(exported, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    # the calling convention is (params, batch_stats, rgb, raw_depth);
+    # rebuild matching inputs from the recorded avals
+    flat = [np.zeros(a.shape, a.dtype) for a in restored.in_avals]
+    args = restored.in_tree.unflatten(flat)
+    out = restored.call(*args[0], **args[1])
+    assert set(out) >= {"pred_depth"}
+    assert out["pred_depth"].shape == (2, 32, 48, 1)
+    assert np.isfinite(np.asarray(out["pred_depth"])).all()
+
+
+def test_export_is_deterministic_vs_live(exported):
+    """Same weights through artifact vs live jit: identical pred_depth."""
+    # the --check flag in the fixture already asserted this; keep a
+    # standalone assertion so a --check regression can't silently pass
+    from jax import export as jexport
+
+    import export_model as em
+
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "rdfc_gan_tiny.yaml")
+    args = em.parse_args(["--model_cfg_path", cfg, "--out", "/dev/null",
+                          "--batch_size", "2", "--out_height", "32",
+                          "--out_width", "48"])
+    import jax
+    import jax.numpy as jnp
+
+    engine, state, sample = em.build(args)
+    rgb = jnp.asarray(sample["rgb"])
+    depth = jnp.asarray(sample["raw_depth"])
+    with open(exported, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    got = restored.call(state.params, state.batch_stats, rgb, depth)
+    want = jax.jit(engine._forward_test_impl)(
+        state.params, state.batch_stats, rgb, depth)
+    np.testing.assert_allclose(np.asarray(got["pred_depth"]),
+                               np.asarray(want["pred_depth"]),
+                               rtol=2e-5, atol=2e-5)
