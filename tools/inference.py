@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_cfg_path", required=True)
     p.add_argument("--load_from", default=None)
@@ -31,7 +31,7 @@ def main():
     p.add_argument("--out", default="pred_depth.png")
     p.add_argument("--out_height", type=int, default=224)
     p.add_argument("--out_width", type=int, default=304)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from rdfc_gan_tpu.config import default_config, load_config
     from rdfc_gan_tpu.engines import build_engine
