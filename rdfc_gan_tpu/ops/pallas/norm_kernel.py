@@ -114,9 +114,16 @@ def _lowering_ok() -> bool:
     global _LOWERING_OK
     if _LOWERING_OK is None:
         try:
-            x = jnp.zeros((1, 16, 16, 128), jnp.bfloat16)
+            # B=2 so the probe exercises the real (B,1,C) stats-block tiling
+            # — a B=1 probe once passed while every B>1 instance failed to
+            # lower (the block's second-to-last dim must equal the array's)
+            x = jnp.zeros((2, 16, 16, 128), jnp.bfloat16)
             jax.jit(lambda v: instance_norm_fwd_pallas(v, 1e-5, 2)[0]) \
                 .lower(x).compile()
+            dy = jnp.zeros((2, 16, 16, 128), jnp.bfloat16)
+            af = jnp.zeros((2, 128), jnp.float32)
+            jax.jit(lambda a, b, c: instance_norm_bwd_pallas(a, b, c, 2)) \
+                .lower(dy, dy, af).compile()
             _LOWERING_OK = True
         except Exception as e:  # pragma: no cover - chip/toolchain specific
             import sys
@@ -183,7 +190,7 @@ def _in_fwd_kernel(x_ref, y_ref, a_ref, stats, *, eps: float, pack: int,
         var = jnp.maximum(s[1:2] - m * m, 0.0)
         a = jax.lax.rsqrt(var + eps)
         stats[...] = jnp.concatenate([a, -m * a], axis=0)
-        a_ref[...] = a
+        a_ref[...] = a.reshape(1, 1, Ct)
 
     a = stats[0:1].reshape(1, 1, Ct).astype(x_ref.dtype)
     b = stats[1:2].reshape(1, 1, Ct).astype(x_ref.dtype)
@@ -230,14 +237,17 @@ def instance_norm_fwd_pallas(x, eps: float, pack: int):
         out_specs=[
             pl.BlockSpec((1, bh, W, Ct), lambda b, c, h: (b, h, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ct), lambda b, c, h: (b, c),
+            # stats ride a (B, 1, C) layout: a (1, Ct) block over (B, C)
+            # violates the TPU tiling rule (second-to-last block dim must be
+            # a multiple of 8 or equal the array dim) whenever B > 1
+            pl.BlockSpec((1, 1, Ct), lambda b, c, h: (b, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
-                   jax.ShapeDtypeStruct((B, C), jnp.float32)],
+                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((2, Ct), jnp.float32)],
     )(x)
-    return y, af
+    return y, af.reshape(B, C)
 
 
 def instance_norm_bwd_pallas(dy, y, af, pack: int):
@@ -258,11 +268,11 @@ def instance_norm_bwd_pallas(dy, y, af, pack: int):
             pl.BlockSpec((1, H, W, Ct), lambda b, c, h: (b, 0, 0, c),
                          pipeline_mode=pl.Buffered(buffer_count=buffers),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ct), lambda b, c, h: (b, c),
+            pl.BlockSpec((1, 1, Ct), lambda b, c, h: (b, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bh, W, Ct), lambda b, c, h: (b, h, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), dy.dtype),
         scratch_shapes=[pltpu.VMEM((2, Ct), jnp.float32)],
-    )(dy, y, af)
+    )(dy, y, af.reshape(B, 1, C))
