@@ -105,12 +105,29 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"[aux] infer bench failed: {e}", file=sys.stderr)
 
+    # self-describing artifact (VERDICT r3 #1): record which optional fast
+    # paths were ACTIVE for this measurement so the driver JSON and the
+    # README claims can be reconciled without re-running. Defaults follow
+    # the round-4 chip A/B (PERF_AB.jsonl): Pallas IN and the outres VJPs
+    # are OFF (they regressed / were neutral on chip).
+    from rdfc_gan_tpu.models.layers import _outres_vjp_disabled
+    from rdfc_gan_tpu.ops.pallas.norm_kernel import wants_pallas
+
+    fast_paths = {
+        "pallas_in": wants_pallas((8, 112, 76, 128), "bfloat16", 2, 1),
+        "outres_vjp_bn": not _outres_vjp_disabled("bn"),
+        "outres_vjp_in": not _outres_vjp_disabled("in"),
+        "w_packed": True,  # YAML-default packed set (ops/packed.py)
+        "remat": cfg.remat,
+        "batch": batch_size,
+    }
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec_per_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(
             imgs_per_sec_per_chip / V100_TRAIN_IMGS_PER_SEC_ESTIMATE, 3),
+        "fast_paths": fast_paths,
     }))
 
 

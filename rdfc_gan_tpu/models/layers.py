@@ -34,6 +34,26 @@ def leaky_relu02(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+def _outres_vjp_disabled(which: str) -> bool:
+    """Output-residual norm VJPs are OFF by default (read at trace time).
+
+    The round-4 chip A/B (PERF_AB.jsonl, bs8/224x304 flagship step) measured
+    them neutral-to-negative: plain XLA autodiff 254.8 ms vs outres-on
+    256.5 ms (Pallas disabled) — saving the backward's re-read of the
+    pre-norm x is cancelled by materializing the norm OUTPUT y as the
+    residual, which XLA would otherwise have fused into the consumer's
+    elementwise chain. Opt back in for A/B with RDFC_OUTRES_VJP =
+    "1"/"all" (both), "bn", or "in"; RDFC_DISABLE_OUTRES_VJP wins if both
+    are set (docs/PERF_NOTES.md round-4)."""
+    import os
+
+    v = os.environ.get("RDFC_DISABLE_OUTRES_VJP", "")
+    if v in ("1", "all") or v == which:
+        return True
+    e = os.environ.get("RDFC_OUTRES_VJP", "")
+    return not (e in ("1", "all") or e == which)
+
+
 def _bn_group(x, pack):
     """(grouped view, reduction axes) for per-ORIGINAL-channel batch stats."""
     if pack > 1:
@@ -174,8 +194,13 @@ class BatchNorm(nn.Module):
                 a = jnp.repeat(a, self.pack)
                 b = jnp.repeat(b, self.pack)
             return x * a.astype(x.dtype) + b.astype(x.dtype)
-        y, mean, var = _bn_train(x, scale, bias, self.epsilon, self.pack,
-                                 self.axis_name)
+        if _outres_vjp_disabled("bn"):
+            y, mean, var, _ = _bn_train_fwd_impl(
+                x, scale, bias, self.epsilon, self.pack, self.axis_name)
+            mean, var = jax.lax.stop_gradient((mean, var))
+        else:
+            y, mean, var = _bn_train(x, scale, bias, self.epsilon,
+                                     self.pack, self.axis_name)
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1 - m) * mean
@@ -287,6 +312,18 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
 
     ``pack``: W-packed input (ops/packed.py) — per ORIGINAL channel stats
     (the phase sub-axis reduces with H, W)."""
+    if _outres_vjp_disabled("in"):
+        xg, red = _in_group(x, pack)
+        mean = jnp.mean(xg.astype(jnp.float32), axis=red)
+        mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        a = jax.lax.rsqrt(var + eps)
+        b = -mean * a
+        if pack > 1:
+            a = jnp.repeat(a, pack, axis=-1)
+            b = jnp.repeat(b, pack, axis=-1)
+        return x * a[:, None, None, :].astype(x.dtype) \
+            + b[:, None, None, :].astype(x.dtype)
     return _instance_norm(x, eps, pack)
 
 

@@ -103,49 +103,68 @@ def _plan(shape, dtype, pack: int, n_full_blocks: int):
     return None
 
 
-# one-time lowering self-probe verdict (None = not yet probed). Keeps a
-# Mosaic regression on some future chip/toolchain from failing the whole
-# train step / driver compile check: if the tiny probe instance does not
-# compile, the dispatch silently falls back to the XLA path everywhere.
-_LOWERING_OK = None
+# lowering self-probe verdicts, keyed per (dtype, pack) — a Mosaic
+# regression specific to one dtype or pack mode (ADVICE r3: e.g. f32 or
+# pack=1) must not be masked by a passing bf16/pack=2 probe. If a probe
+# instance does not compile, dispatch falls back to the XLA path for that
+# (dtype, pack) class only.
+_LOWERING_OK: dict = {}
 
 
-def _lowering_ok() -> bool:
-    global _LOWERING_OK
-    if _LOWERING_OK is None:
+def _lowering_ok(dtype, pack: int) -> bool:
+    key = (jnp.dtype(dtype).name, pack)
+    if key not in _LOWERING_OK:
         try:
             # B=2 so the probe exercises the real (B,1,C) stats-block tiling
             # — a B=1 probe once passed while every B>1 instance failed to
             # lower (the block's second-to-last dim must equal the array's)
-            x = jnp.zeros((2, 16, 16, 128), jnp.bfloat16)
-            jax.jit(lambda v: instance_norm_fwd_pallas(v, 1e-5, 2)[0]) \
+            x = jnp.zeros((2, 16, 16, 128), dtype)
+            jax.jit(lambda v: instance_norm_fwd_pallas(v, 1e-5, pack)[0]) \
                 .lower(x).compile()
-            dy = jnp.zeros((2, 16, 16, 128), jnp.bfloat16)
+            dy = jnp.zeros((2, 16, 16, 128), dtype)
             af = jnp.zeros((2, 128), jnp.float32)
-            jax.jit(lambda a, b, c: instance_norm_bwd_pallas(a, b, c, 2)) \
+            jax.jit(lambda a, b, c: instance_norm_bwd_pallas(a, b, c, pack)) \
                 .lower(dy, dy, af).compile()
-            _LOWERING_OK = True
+            _LOWERING_OK[key] = True
         except Exception as e:  # pragma: no cover - chip/toolchain specific
             import sys
 
-            print(f"norm_kernel: Pallas probe failed to compile "
+            print(f"norm_kernel: Pallas probe {key} failed to compile "
                   f"({type(e).__name__}); using the XLA instance-norm path",
                   file=sys.stderr)
-            _LOWERING_OK = False
-    return _LOWERING_OK
+            _LOWERING_OK[key] = False
+    return _LOWERING_OK[key]
 
 
 def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
+    """Fused-IN kernel dispatch gate. OFF by default: the round-4 chip A/B
+    (PERF_AB.jsonl) measured the kernels at +23 ms on the bs8 flagship step
+    — Mosaic's 16 MB scoped-VMEM limit on v5e forces the full-res planes
+    into single-buffered mode (DMA serialized against compute), and raising
+    RDFC_PALLAS_IN_VMEM_MB past ~13 fails Mosaic compile outright
+    ("scoped allocation ... exceeded scoped vmem limit"). Opt in for A/B
+    with RDFC_ENABLE_PALLAS_IN=1 (the outres VJPs must also be on:
+    RDFC_OUTRES_VJP=in — the kernels are only reachable through them)."""
     import os
 
     if os.environ.get("RDFC_DISABLE_PALLAS_IN"):  # ops-level escape hatch
         return False
+    if not (os.environ.get("RDFC_ENABLE_PALLAS_IN") or _FORCE_PALLAS):
+        return False
+    plan = _plan(shape, dtype, pack, n_full_blocks)
+    if plan is None:
+        return False
+    if (plan[2] == 1 and not _FORCE_PALLAS
+            and not os.environ.get("RDFC_PALLAS_IN_ALLOW_SB")):
+        # single-buffered mode serializes the plane DMA against compute —
+        # measured net-negative on chip (the r4 A/B's +23 ms was dominated
+        # by the big full-res planes that only fit single-buffered under
+        # Mosaic's 16 MB scoped-VMEM limit). Opt-in planes must pipeline.
+        return False
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (on_tpu or _FORCE_PALLAS):
         return False
-    if _plan(shape, dtype, pack, n_full_blocks) is None:
-        return False
-    return _FORCE_PALLAS or _lowering_ok()
+    return _FORCE_PALLAS or _lowering_ok(dtype, pack)
 
 
 def _pair_merge(s, pack: int, Ct: int):

@@ -24,6 +24,10 @@ def main():
     p.add_argument("--remat", default="none",
                    choices=["none", "selective", "all"])
     p.add_argument("--tag", default="")
+    p.add_argument("--set", action="append", default=[], dest="sets",
+                   metavar="dotted.key=value",
+                   help="config override, e.g. model.Label_G.packed_width"
+                        "=true (repeatable; values parsed as YAML)")
     args = p.parse_args()
 
     import jax
@@ -43,6 +47,14 @@ def main():
                           "all": True}[args.remat]))
     if args.nlspn:
         cfg.model.G_A2B.merge(dict(use_nlspn_refine=True))
+    for kv in args.sets:
+        import yaml
+
+        key, _, val = kv.partition("=")
+        sub = yaml.safe_load(val)
+        for part in reversed(key.split(".")):
+            sub = {part: sub}
+        cfg.merge(sub)
 
     engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
     batch = jax.tree.map(jnp.asarray, _synth_batch(cfg, args.batch))
