@@ -127,10 +127,19 @@ def conv_packed(x: jnp.ndarray, w: jnp.ndarray, p: int,
     SAME-geometry stems). h uses ``h_pad`` or symmetric p. Output packed
     iff ``out_packed``. ``groups``: feature groups (depthwise = Cin) —
     packed groups stay aligned because c-major packing keeps each original
-    channel's phases adjacent.
-    """
+    channel's phases adjacent. A DEPTHWISE kernel (Cin/groups == 1 and
+    Cout == groups) dispatches to the dual-depthwise formulation below —
+    the generic packed scatter would produce a 2-in/2-out grouped conv,
+    which defeats XLA's native depthwise lowering (the G_normal 32.7 ->
+    81.8 ms grad regression, docs/PERF_NOTES.md round-3)."""
+    import os
+
     sh, sw = stride
     pr = p if p_right is None else p_right
+    if (groups > 1 and w.shape[2] == 1 and w.shape[3] == groups
+            and not os.environ.get("RDFC_PACKED_DW_GROUPED")):
+        return _conv_packed_depthwise(x, w, p, pr, (sh, sw), out_packed,
+                                      h_pad)
     pw, (lo, _), ws = pack_kernel(w, p, sw, out_packed, groups=groups)
     # right pad from the REQUIRED output width (valid/SAME/symmetric exact):
     # orig O = floor((W + p + pr - kw)/sw) + 1, conv out = (Wp+lo+hi-kp)/ws+1
@@ -148,6 +157,73 @@ def conv_packed(x: jnp.ndarray, w: jnp.ndarray, p: int,
         padding=(hp, (lo, hi)),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _phase_swap(x: jnp.ndarray) -> jnp.ndarray:
+    """Swap the two phase lanes of every original channel (c-major pairs)."""
+    B, H, Wp, C2 = x.shape
+    return x.reshape(B, H, Wp, C2 // 2, 2)[..., ::-1].reshape(B, H, Wp, C2)
+
+
+def _conv_packed_depthwise(x, w, p: int, pr: int, stride, out_packed: bool,
+                           h_pad) -> jnp.ndarray:
+    """Depthwise conv over a W-packed input as TWO native depthwise convs.
+
+    The packed-space taps (d, fi, fo, t) couple output phase fo to input
+    phase fi of the SAME original channel. Splitting by phase parity:
+
+      * fi == fo taps -> a plain depthwise conv on the packed tensor
+        (channel 2c+f convolves with channel 2c+f);
+      * fi != fo taps -> a depthwise conv whose OUTPUT channels are then
+        phase-swapped (channel 2c+f computes the contribution destined for
+        2c+(1-f); the swap is a lane permute fused into the add).
+
+    Both convs keep Cin/group == Cout/group == 1, so XLA's fast depthwise
+    lowering applies. For unpacked output (stride-2 'exit' convs) the taps
+    all have fo == 0 and the phase contributions reduce pairwise instead.
+    Exact: tests/test_packed.py."""
+    sh, sw = stride
+    kh, kw, _, co = w.shape
+    taps, dmin, dmax, ws = _w_taps(kw, p, sw, out_packed)
+    kp = dmax - dmin + 1
+    Wp = x.shape[2]
+    O = (2 * Wp + p + pr - kw) // sw + 1
+    hp = h_pad if h_pad is not None else (p, pr)
+    lo = -dmin
+
+    def dw(inp, pw):
+        return jax.lax.conv_general_dilated(
+            inp, pw.astype(x.dtype), window_strides=(sh, ws),
+            padding=(hp, (lo, hi)),
+            feature_group_count=inp.shape[-1],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    if out_packed:
+        assert O % 2 == 0, f"packed output needs even width, got {O}"
+        O //= 2
+        hi = (O - 1) * ws + kp - lo - Wp
+        pw_same = jnp.zeros((kh, kp, 1, 2 * co), w.dtype)
+        pw_cross = jnp.zeros((kh, kp, 1, 2 * co), w.dtype)
+        any_same = any_cross = False
+        for d, fi, fo, t in taps:
+            if fi == fo:
+                pw_same = pw_same.at[:, d - dmin, 0, fo::2].add(w[:, t, 0])
+                any_same = True
+            else:
+                # computed in the fi lane, swapped into the fo lane after
+                pw_cross = pw_cross.at[:, d - dmin, 0, fi::2].add(w[:, t, 0])
+                any_cross = True
+        out = dw(x, pw_same) if any_same else 0.0
+        if any_cross:
+            out = out + _phase_swap(dw(x, pw_cross))
+        return out
+    hi = (O - 1) * ws + kp - lo - Wp
+    pw = jnp.zeros((kh, kp, 1, 2 * co), w.dtype)
+    for d, fi, _fo, t in taps:
+        pw = pw.at[:, d - dmin, 0, fi::2].add(w[:, t, 0])
+    g = dw(x, pw)
+    B, Ho, Wo, _ = g.shape
+    return g.reshape(B, Ho, Wo, co, 2).sum(-1)
 
 
 def maxpool_k3s2p1_exit(x: jnp.ndarray) -> jnp.ndarray:

@@ -96,6 +96,47 @@ def test_conv_packed_grouped_depthwise():
     np.testing.assert_allclose(out2, ref2, rtol=1e-5, atol=1e-5)
 
 
+def test_conv_packed_depthwise_s2_packed_out_and_grads():
+    # dual-depthwise dispatch (ops/packed.py _conv_packed_depthwise):
+    # packed-out stride-2 case + gradient parity through the phase-swap
+    C = 6
+    kx, kw_ = jax.random.split(jax.random.PRNGKey(21))
+    x = _rand(kx, (2, 8, 16, C))
+    w = _rand(kw_, (3, 3, 1, C))
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        feature_group_count=C, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = wunpack(conv_packed(wpack(x), w, 1, stride=(2, 2), groups=C))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def f_ref(w):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            feature_group_count=C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.sin(y))
+
+    def f_pk(w):
+        return jnp.sum(jnp.sin(wunpack(conv_packed(wpack(x), w, 1,
+                                                   groups=C))))
+
+    g1, g2 = jax.grad(f_ref)(w), jax.grad(f_pk)(w)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_packed_grouped_non_depthwise_stays_generic():
+    # groups=2 with I=3 per group is NOT depthwise — must keep the generic
+    # packed-scatter path and stay exact
+    kx, kw_ = jax.random.split(jax.random.PRNGKey(22))
+    x = _rand(kx, (2, 8, 12, 6))
+    w = _rand(kw_, (3, 3, 3, 8))
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        feature_group_count=2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = wunpack(conv_packed(wpack(x), w, 1, groups=2))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_conv_packed_asymmetric_same():
     # k3 s2 SAME on even W: torch/timm pads (0,1)
     kx, kw_ = jax.random.split(jax.random.PRNGKey(13))
