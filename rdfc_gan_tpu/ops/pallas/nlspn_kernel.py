@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..nlspn_stencil import shift_window, stencil_propagate
 
 
-def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, *rest,
+def _kernel(feat_ref, M_ref, *rest,
             T: int, S: int, lo: int, pad: int, preserve: bool,
             emit_x: bool = False):
     """Propagation chain; with ``emit_x`` also stores X[t] = the
@@ -41,7 +41,16 @@ def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, *rest,
     _prop_bwd phase 2). Emitting it in the forward lets the backward skip
     the XLA forward-recompute scan entirely (T more HBM reads of the mask
     stack). One body for both variants so the differentiated forward can
-    never drift from the primal."""
+    never drift from the primal.
+
+    ``preserve`` toggles the fix/fixmask refs entirely: when False they are
+    NOT kernel arguments — at (224,304,S=8) the two (1,H,W) f32 blocks cost
+    ~1.1 MiB double-buffered, and the emit_x variant sat 92 KiB over
+    Mosaic's 16 MiB scoped-VMEM limit with them (PERF_AB r4 NLSPN A/B)."""
+    rest = list(rest)
+    fix_ref = rest.pop(0) if preserve else None
+    fixmask_ref = rest.pop(0) if preserve else None
+    out_ref = rest.pop(0)
     x_ref = rest[0] if emit_x else None
     fp, acc = rest[-2:]
     H, W = feat_ref.shape[1], feat_ref.shape[2]
@@ -71,8 +80,7 @@ def _kernel(feat_ref, M_ref, fix_ref, fixmask_ref, out_ref, *rest,
     out_ref[0] = acc[...]
 
 
-def _chain_kernel(g_ref, M_ref, fixmask_ref, gout_ref, dfeat_ref, dfix_ref,
-                  accp, gg, dfix_acc, *, T: int, S: int, lo: int, pad: int,
+def _chain_kernel(g_ref, M_ref, *rest, T: int, S: int, lo: int, pad: int,
                   preserve: bool):
     """Reverse gradient chain with the mask stack VMEM-resident.
 
@@ -86,10 +94,21 @@ def _chain_kernel(g_ref, M_ref, fixmask_ref, gout_ref, dfeat_ref, dfix_ref,
     reads shifted windows of a padded x, so its transpose adds M_s*gg into
     the SAME padded windows and keeps only the center (out-of-image
     contributions land in the border and are discarded — the transpose of
-    zero-padding)."""
+    zero-padding). As in ``_kernel``, ``preserve`` toggles the fixmask
+    input / dfix output / dfix scratch out of the argument list entirely
+    (VMEM budget)."""
+    rest = list(rest)
+    fixmask_ref = rest.pop(0) if preserve else None
+    gout_ref = rest.pop(0)
+    dfeat_ref = rest.pop(0)
+    dfix_ref = rest.pop(0) if preserve else None
+    accp = rest.pop(0)
+    gg = rest.pop(0)
+    dfix_acc = rest.pop(0) if preserve else None
     H, W = g_ref.shape[1], g_ref.shape[2]
     gg[...] = g_ref[0].astype(jnp.float32)
-    dfix_acc[...] = jnp.zeros_like(dfix_acc)
+    if preserve:
+        dfix_acc[...] = jnp.zeros_like(dfix_acc)
 
     def body(i, _):
         t = T - 1 - i
@@ -111,7 +130,13 @@ def _chain_kernel(g_ref, M_ref, fixmask_ref, gout_ref, dfeat_ref, dfix_ref,
 
     jax.lax.fori_loop(0, T, body, 0)
     dfeat_ref[0] = gg[...]
-    dfix_ref[0] = dfix_acc[...]
+    if preserve:
+        dfix_ref[0] = dfix_acc[...]
+
+
+def _plane_spec(H, W):
+    return pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
@@ -123,23 +148,22 @@ def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
 
     kernel = functools.partial(_kernel, T=T, S=S, lo=lo, pad=pad,
                                preserve=preserve, emit_x=True)
+    in_specs = [
+        _plane_spec(H, W),
+        pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                     pipeline_mode=pl.Buffered(buffer_count=1),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [feat0, M]
+    if preserve:
+        in_specs += [_plane_spec(H, W), _plane_spec(H, W)]
+        args += [fix, fixmask]
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _plane_spec(H, W),
             # X written directly in shift_correlation's (T,B,H,W) layout;
             # single-buffered: the stack is ~T/2 x the mask budget and its
             # DMA-out (~us) is noise next to the T-step chain compute
@@ -151,7 +175,7 @@ def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
                    jax.ShapeDtypeStruct((T, B, H, W), x_dtype)],
         scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
                         pltpu.VMEM((H, W), jnp.float32)],
-    )(feat0, M, fix, fixmask)
+    )(*args)
 
 
 def _pallas_reverse_chain(g0, M, fixmask, T: int, R: int, preserve: bool,
@@ -163,44 +187,59 @@ def _pallas_reverse_chain(g0, M, fixmask, T: int, R: int, preserve: bool,
 
     kernel = functools.partial(_chain_kernel, T=T, S=S, lo=lo, pad=pad,
                                preserve=preserve)
-    return pl.pallas_call(
+    in_specs = [
+        _plane_spec(H, W),
+        pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                     pipeline_mode=pl.Buffered(buffer_count=1),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [g0, M]
+    out_specs = [
+        pl.BlockSpec((T, 1, H, W), lambda b: (0, b, 0, 0),
+                     pipeline_mode=pl.Buffered(buffer_count=1),
+                     memory_space=pltpu.VMEM),
+        _plane_spec(H, W),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H, W), g_dtype),
+                 jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+    scratch = [pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+               pltpu.VMEM((H, W), jnp.float32)]
+    if preserve:
+        in_specs.append(_plane_spec(H, W))
+        args.append(fixmask)
+        out_specs.append(_plane_spec(H, W))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, W), jnp.float32))
+        scratch.append(pltpu.VMEM((H, W), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((T, 1, H, W), lambda b: (0, b, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((T, B, H, W), g_dtype),
-                   jax.ShapeDtypeStruct((B, H, W), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, W), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
-                        pltpu.VMEM((H, W), jnp.float32),
-                        pltpu.VMEM((H, W), jnp.float32)],
-    )(g0, M, fixmask)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(*args)
+    if preserve:
+        return res
+    G, dfeat = res
+    return G, dfeat, jnp.zeros_like(dfeat)
 
 
 def _bwd_kernels_fit(H: int, W: int, S: int, T: int, pad: int,
-                     stack_bytes: int) -> bool:
-    """VMEM budget for the forward+X / reverse-chain kernels: mask stack
-    (bf16, single-buffered) + the (T,H,W) residual/gradient stack + ~6
-    f32 planes of scratch and small blocks."""
-    need = (S * S * H * W * 2 + T * H * W * stack_bytes
-            + 6 * (H + 2 * pad) * (W + 2 * pad) * 4)
-    return need < 13 * 1024 * 1024
+                     stack_bytes: int, preserve: bool) -> bool:
+    """VMEM ledger for the forward+X / reverse-chain kernels, calibrated
+    against Mosaic's reported scoped allocation at (8,224,304,S=8,T=18,
+    preserve=False): ledger 12.8 MiB, Mosaic 15.0 MiB -> ~2.2 MiB of
+    Mosaic stack temporaries (the S^2 unrolled slice multiplies). Budget
+    2.75 MiB of headroom under the 16 MiB scoped limit."""
+    plane = H * W * 4
+    ledger = (S * S * H * W * 2                      # mask stack (single)
+              + T * H * W * stack_bytes              # X / G stack (single)
+              + 2 * 2 * plane                        # in g0/feat + out plane
+              + (H + 2 * pad) * (W + 2 * pad) * 4    # padded scratch
+              + plane)                               # acc scratch
+    if preserve:
+        ledger += 2 * 2 * plane + 2 * plane  # fix+fixmask in, dfix out+acc
+    return ledger + int(2.75 * 1024 * 1024) < 16 * 1024 * 1024
 
 
 def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
@@ -211,30 +250,29 @@ def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
 
     kernel = functools.partial(_kernel, T=T, S=S, lo=lo, pad=pad,
                                preserve=preserve)
+    in_specs = [
+        _plane_spec(H, W),
+        # single-buffer the mask stack: it is the VMEM budget (~8.7 MiB
+        # bf16 at 224x304); double-buffered prefetch of the next batch
+        # item's masks would double it and blow the 16 MiB budget. Its
+        # DMA (~10 us) is negligible vs the T-step compute.
+        pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
+                     pipeline_mode=pl.Buffered(buffer_count=1),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [feat0, M]
+    if preserve:
+        in_specs += [_plane_spec(H, W), _plane_spec(H, W)]
+        args += [fix, fixmask]
     return pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # single-buffer the mask stack: it is the VMEM budget (~8.7 MiB
-            # bf16 at 224x304); double-buffered prefetch of the next batch
-            # item's masks would double it and blow the 16 MiB budget. Its
-            # DMA (~10 us) is negligible vs the T-step compute.
-            pl.BlockSpec((1, S, S, H, W), lambda b: (b, 0, 0, 0, 0),
-                         pipeline_mode=pl.Buffered(buffer_count=1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=_plane_spec(H, W),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
                         pltpu.VMEM((H, W), jnp.float32)],
-    )(feat0, M, fix, fixmask)
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -282,7 +320,7 @@ def _bwd_lowering_ok() -> bool:
     return _BWD_LOWERING_OK
 
 
-def _use_pallas_bwd(M, prop_time, R):
+def _use_pallas_bwd(M, prop_time, R, preserve):
     import os
 
     if os.environ.get("RDFC_DISABLE_PALLAS_NLSPN_BWD"):  # escape hatch
@@ -291,7 +329,7 @@ def _use_pallas_bwd(M, prop_time, R):
     S, pad = hi - lo + 1, max(-lo, hi)
     H, W = M.shape[3], M.shape[4]
     if not _bwd_kernels_fit(H, W, S, prop_time, pad,
-                            jnp.dtype(_stack_dtype(M)).itemsize):
+                            jnp.dtype(_stack_dtype(M)).itemsize, preserve):
         return False
     if jax.default_backend() in ("cpu", "gpu"):
         # only reachable with interpret-mode pallas monkeypatched in
@@ -301,7 +339,7 @@ def _use_pallas_bwd(M, prop_time, R):
 
 
 def _fwd(feat_init, M, feat_fix, prop_time, R, preserve_input):
-    if _use_pallas_bwd(M, prop_time, R):
+    if _use_pallas_bwd(M, prop_time, R, preserve_input):
         # emit the per-step input stack X from the forward kernel itself:
         # the backward then needs NO forward-recompute scan (T fewer HBM
         # reads of the mask stack) — X is the only residual phase 2 reads.
@@ -319,7 +357,7 @@ def _fwd(feat_init, M, feat_fix, prop_time, R, preserve_input):
 
 def _bwd(prop_time, R, preserve_input, res, g):
     first, M, feat_fix = res
-    if _use_pallas_bwd(M, prop_time, R):
+    if _use_pallas_bwd(M, prop_time, R, preserve_input):
         from .mask_kernel import shift_correlation
 
         X = first  # (T,B,H,W) residual stack from _pallas_forward_x

@@ -259,7 +259,8 @@ def test_pallas_backward_kernels_match_xla(rng):
     fix = jnp.asarray(np.abs(rng.normal(size=(B, H, W, 1))) *
                       (rng.random((B, H, W, 1)) > 0.4), jnp.float32)
 
-    assert nk._use_pallas_bwd(M, T, R), "test shapes must take the kernels"
+    assert nk._use_pallas_bwd(M, T, R, True), \
+        "test shapes must take the kernels"
 
     for preserve in (False, True):
         def loss_p(a, m, fx):
