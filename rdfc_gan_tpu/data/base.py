@@ -15,7 +15,7 @@ class BaseDataset:
     def __init__(self, data_root: str, mode: str = "train",
                  rgb_mean=(0.485, 0.456, 0.406), rgb_std=(0.229, 0.224, 0.225),
                  max_depth: float = 10.0, depth_mean=(5.0,), depth_std=(5.0,),
-                 seed: int = 0):
+                 seed: int = 0, decode_cache: Optional[str] = None):
         self.data_root = data_root
         self.mode = mode
         self.rgb_mean = np.asarray(rgb_mean, np.float32)
@@ -25,6 +25,48 @@ class BaseDataset:
         self.depth_std = float(np.asarray(depth_std).reshape(-1)[0])
         self.seed = seed
         self.epoch = 0
+        # decoded-sample cache (docs/PERF_NOTES.md round-4 loader work):
+        # PNG decode dominates the per-sample cost (~2/3 of the 64 ms on a
+        # 1-core host) and is identical every epoch — datasets route their
+        # _load_raw through _cache_load/_cache_store keyed by the sample's
+        # relative path, storing the decoded (pre-augment) arrays as
+        # uncompressed .npz. Opt-in: RDFC_DECODE_CACHE=<dir> or the
+        # ``decode_cache`` ctor arg. First epoch pays decode+write; later
+        # epochs are a page-cached file read.
+        import os
+
+        self.decode_cache = decode_cache or os.environ.get(
+            "RDFC_DECODE_CACHE")
+        if self.decode_cache:
+            os.makedirs(self.decode_cache, exist_ok=True)
+
+    def _cache_load(self, rel_key: str):
+        if not self.decode_cache:
+            return None
+        import os
+
+        p = os.path.join(self.decode_cache,
+                         rel_key.replace("/", "__") + ".npz")
+        try:
+            with np.load(p) as z:
+                return {k: z[k] for k in z.files}
+        except (OSError, ValueError, EOFError):
+            return None
+
+    def _cache_store(self, rel_key: str, sample: Dict[str, np.ndarray]):
+        if not self.decode_cache:
+            return
+        import os
+
+        p = os.path.join(self.decode_cache,
+                         rel_key.replace("/", "__") + ".npz")
+        try:
+            # np.savez appends ".npz" unless the name already ends with it
+            tmp = f"{p}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, **sample)
+            os.replace(tmp, p)
+        except OSError:
+            pass
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

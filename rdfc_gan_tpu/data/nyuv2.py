@@ -60,9 +60,11 @@ class NYUV21400Dataset(BaseDataset):
                  max_depth: float = 10.0, depth_mean=(5.0,), depth_std=(5.0,),
                  height: int = 240, width: int = 320,
                  crop_size_height: int = 224, crop_size_width: int = 304,
-                 num_sample: int = 500, seed: int = 0, **unused):
+                 num_sample: int = 500, seed: int = 0,
+                 decode_cache: Optional[str] = None, **unused):
         super().__init__(data_root, mode, rgb_mean, rgb_std, max_depth,
-                         depth_mean, depth_std, seed)
+                         depth_mean, depth_std, seed,
+                         decode_cache=decode_cache)
         self.height = height
         self.width = width
         self.crop_size = (crop_size_height, crop_size_width)
@@ -84,6 +86,9 @@ class NYUV21400Dataset(BaseDataset):
         )
 
     def _load_raw(self, idx: int):
+        cached = self._cache_load(self.rgb[idx])
+        if cached is not None:
+            return cached
         read = lambda p: cv2.imread(os.path.join(self.data_root, p),
                                     cv2.IMREAD_UNCHANGED)
         rgb = cv2.cvtColor(read(self.rgb[idx]), cv2.COLOR_BGR2RGB)
@@ -96,6 +101,7 @@ class NYUV21400Dataset(BaseDataset):
         # CutOffBlackBorder(45,15,45,40) — nyuv2_dataset_training.py:77-82
         for k, v in s.items():
             s[k] = v[45: v.shape[0] - 15, 45: v.shape[1] - 40]
+        self._cache_store(self.rgb[idx], s)
         return s
 
     # ------------------------------------------------------------- pipeline

@@ -281,3 +281,27 @@ def test_folder_dataset_cleargrasp(folder_root):
     assert (s["raw_depth"] == 0).sum() >= 0
     dt = FolderDepthDataset(folder_root, mode="val")
     assert dt[0]["gt_depth"].shape == (256, 256, 1)
+
+
+def test_nyuv2_decode_cache(nyuv2_root, tmp_path):
+    """The decoded-sample cache must be a pure accelerator: identical
+    samples with and without it, cache files created on first touch and
+    hit on the second (loader perf, docs/PERF_NOTES.md round-4)."""
+    import numpy as np
+
+    from rdfc_gan_tpu.data.nyuv2 import NYUV21400Dataset
+
+    plain = NYUV21400Dataset(nyuv2_root, mode="train")
+    cache_dir = str(tmp_path / "decode_cache")
+    cached = NYUV21400Dataset(nyuv2_root, mode="train",
+                              decode_cache=cache_dir)
+    import os
+
+    a = plain[0]
+    b = cached[0]                      # miss: decode + store
+    files = os.listdir(cache_dir)
+    assert files, "cache dir should have entries after first access"
+    c = cached[0]                      # hit: load from .npz
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        np.testing.assert_array_equal(a[k], c[k], err_msg=k)
