@@ -110,6 +110,8 @@ def main():
     # README claims can be reconciled without re-running. Defaults follow
     # the round-4 chip A/B (PERF_AB.jsonl): Pallas IN and the outres VJPs
     # are OFF (they regressed / were neutral on chip).
+    import os
+
     from rdfc_gan_tpu.models.layers import _outres_vjp_disabled
     from rdfc_gan_tpu.ops.pallas.norm_kernel import wants_pallas
 
@@ -118,6 +120,12 @@ def main():
         "outres_vjp_bn": not _outres_vjp_disabled("bn"),
         "outres_vjp_in": not _outres_vjp_disabled("in"),
         "w_packed": True,  # YAML-default packed set (ops/packed.py)
+        # chip-regressive, default off (PERF_AB r4: 298.1 vs 254.8 ms)
+        "fused_blocks": bool(cfg.model.G_A2B.get("fused_blocks", False)),
+        # NLSPN Pallas backward (r4: 331.0 -> 305.6 ms on the NLSPN
+        # config); inert here unless use_nlspn_refine is on
+        "nlspn_pallas_bwd": not os.environ.get(
+            "RDFC_DISABLE_PALLAS_NLSPN_BWD"),
         "remat": cfg.remat,
         "batch": batch_size,
     }
