@@ -1,3 +1,5 @@
-from .mesh import make_mesh, shard_batch, replicate_state, data_sharding
+from .mesh import (make_mesh, shard_batch, replicate_state,
+                   init_replicated, data_sharding)
 
-__all__ = ["make_mesh", "shard_batch", "replicate_state", "data_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate_state",
+           "init_replicated", "data_sharding"]

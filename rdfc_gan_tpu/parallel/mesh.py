@@ -43,6 +43,36 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, repl)
 
 
+def init_replicated(engine, mesh: Mesh, sample_batch, rng):
+    """Initialize an engine's train state directly replicated over ``mesh``.
+
+    ``engine.init_state`` + ``replicate_state`` as ONE jitted program with
+    replicated output shardings: XLA materializes every replica itself
+    instead of the host device_put-ing gigabytes per device after an eager
+    init (measured on the 1-core dryrun host: eager init 30 s + host
+    replicate 60 s for the flagship-width 6-net state vs one compiled —
+    and persistently cacheable — program). On real multi-chip hardware
+    this is the standard bringup pattern: the init computes on-device and
+    the replication rides ICI.
+
+    Random init only: pretrained-torso / checkpoint loading is host-side
+    file IO and must stay outside jit (load after, then ``replicate_state``
+    — or better, device_put with this same replicated sharding).
+    """
+    import functools
+
+    import numpy as _np
+
+    repl = NamedSharding(mesh, P())
+    host_batch = jax.tree.map(_np.asarray, sample_batch)
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def _init(key):
+        return engine.init_state(key, host_batch)
+
+    return _init(rng)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch with batch-dim sharding over 'data'."""
     sh = data_sharding(mesh)

@@ -8,8 +8,8 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rdfc_gan_tpu.parallel import (data_sharding, make_mesh, replicate_state,
-                                   shard_batch)
+from rdfc_gan_tpu.parallel import (data_sharding, init_replicated, make_mesh,
+                                   replicate_state, shard_batch)
 from rdfc_gan_tpu.parallel.mesh import spatial_sharding
 
 
@@ -70,6 +70,34 @@ def test_replicate_state(mesh8):
     assert len(repl["w"].addressable_shards) == 8
     for s in repl["w"].addressable_shards:
         assert s.data.shape == (4, 4)  # fully replicated
+
+
+def test_init_replicated_matches_eager_init(mesh8):
+    """init_replicated = engine.init_state + replicate_state as ONE compiled
+    program with replicated out-shardings (no host-side per-device
+    device_put): every leaf lands replicated and numerically identical to
+    the eager init."""
+    from rdfc_gan_tpu.config import default_config
+    from rdfc_gan_tpu.data import SyntheticDataset
+    from rdfc_gan_tpu.engines import build_engine
+    from tests.test_engines import RDFGAN_MODEL
+
+    cfg = default_config()
+    cfg.merge(dict(out_height=16, out_width=16, batch_size=1, num_classes=5,
+                   donate=False))
+    cfg.merge({"model": RDFGAN_MODEL})
+    eng = build_engine(cfg, steps_per_epoch=2)
+    ds = SyntheticDataset(length=8, height=16, width=16, num_classes=5)
+    batch = {k: np.stack([ds[i][k] for i in range(8)]) for k in ds[0]}
+
+    state = init_replicated(eng, mesh8, batch, jax.random.PRNGKey(0))
+    want = eng.init_state(jax.random.PRNGKey(0),
+                          jax.tree.map(jnp.asarray, batch))
+    for got_leaf, want_leaf in zip(jax.tree.leaves(state),
+                                   jax.tree.leaves(want)):
+        assert len(got_leaf.addressable_shards) == 8  # replicated over mesh
+        np.testing.assert_allclose(np.asarray(got_leaf),
+                                   np.asarray(want_leaf), rtol=1e-6)
 
 
 def test_syncbn_semantics_under_jit(mesh8):
