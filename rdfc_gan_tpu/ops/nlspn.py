@@ -72,18 +72,24 @@ def _conf_sample_shifts(confidence: jnp.ndarray, nb_offsets: jnp.ndarray,
     q0x = q0[..., 1].astype(jnp.int32)
     pad = R + 1
     cp = jnp.pad(confidence[..., 0], ((0, 0), (pad, pad), (pad, pad)))
-    corners = ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
-               (1, 0, fy * (1 - fx)), (1, 1, fy * fx))
+    # The per-(pixel, tap) shift weight factorizes exactly over the axes:
+    #   w(sy, sx) = sum_{dy,dx} wy_dy*wx_dx*[q0y = sy-dy]*[q0x = sx-dx]
+    #             = ay(sy) * ax(sx),
+    #   ay(sy) = (1-fy)*[q0y = sy] + fy*[q0y = sy-1]   (ax analogous),
+    # so the (2R+2)^2-shift select scan collapses to 2*(2R+2) per-axis
+    # one-hot blends + one outer-product FMA chain — ~5x fewer VPU ops
+    # for the same math (same 4 nonzero bilinear products per tap).
+    shifts = range(-R, R + 2)
+    one = jnp.ones((), confidence.dtype)
+    ax = [(one - fx) * (q0x == sx) + fx * (q0x == sx - 1) for sx in shifts]
     out = jnp.zeros((B, H, W, num), confidence.dtype)
-    for sy in range(-R, R + 2):
-        for sx in range(-R, R + 2):
-            w = None
-            for dy, dx, wgt in corners:
-                hit = ((q0y == sy - dy) & (q0x == sx - dx))
-                term = jnp.where(hit, wgt, 0)
-                w = term if w is None else w + term
+    for iy, sy in enumerate(shifts):
+        ay = (one - fy) * (q0y == sy) + fy * (q0y == sy - 1)
+        row = jnp.zeros((B, H, W, num), confidence.dtype)
+        for ix, sx in enumerate(shifts):
             sl = cp[:, pad + sy: pad + sy + H, pad + sx: pad + sx + W]
-            out = out + w * sl[..., None]
+            row = row + ax[ix] * sl[..., None]
+        out = out + ay * row
     return out
 
 
