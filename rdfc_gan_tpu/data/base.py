@@ -40,15 +40,33 @@ class BaseDataset:
         if self.decode_cache:
             os.makedirs(self.decode_cache, exist_ok=True)
 
+    # bump when any _load_raw decode/preprocess step changes meaning
+    _CACHE_FORMAT = 2
+
+    def _cache_salt(self) -> str:
+        """Extra decode-affecting parameters; subclasses append theirs."""
+        return ""
+
+    def _cache_path(self, rel_key: str) -> str:
+        """Cache filename = <salt-hash>__<rel_key>.npz. The salt folds in a
+        format-version constant, the dataset class, the data_root and any
+        subclass decode params so a cache dir shared across datasets/roots
+        or populated before a decode change MISSES instead of serving
+        stale samples (advisor r4)."""
+        import hashlib
+        import os
+
+        salt = (f"v{self._CACHE_FORMAT}|{type(self).__name__}|"
+                f"{os.path.abspath(self.data_root)}|{self._cache_salt()}")
+        h = hashlib.sha1(salt.encode()).hexdigest()[:10]
+        return os.path.join(self.decode_cache,
+                            f"{h}__{rel_key.replace('/', '__')}.npz")
+
     def _cache_load(self, rel_key: str):
         if not self.decode_cache:
             return None
-        import os
-
-        p = os.path.join(self.decode_cache,
-                         rel_key.replace("/", "__") + ".npz")
         try:
-            with np.load(p) as z:
+            with np.load(self._cache_path(rel_key)) as z:
                 return {k: z[k] for k in z.files}
         except (OSError, ValueError, EOFError):
             return None
@@ -58,8 +76,7 @@ class BaseDataset:
             return
         import os
 
-        p = os.path.join(self.decode_cache,
-                         rel_key.replace("/", "__") + ".npz")
+        p = self._cache_path(rel_key)
         try:
             # np.savez appends ".npz" unless the name already ends with it
             tmp = f"{p}.{os.getpid()}.tmp.npz"

@@ -135,6 +135,11 @@ def _bwd_rule(eps, axis_name, pack, res, cts):
         * is2[None, None, None, :]
     Sg2 = jnp.sum(dn2, axis=(0, 1, 2))
     Sgx2 = jnp.sum(dn2 * xhat2, axis=(0, 1, 2))
+    # Returned dgamma/dbeta stay PER-REPLICA sums (the DP gradient psum
+    # averages them, models.layers.BatchNorm convention); only the copies
+    # feeding the dx finalize constants are psum'd — those divide by the
+    # GLOBAL element count n, matching autodiff of the pmean'd forward.
+    Sg2_ret, Sgx2_ret = Sg2, Sgx2
     if axis_name is not None:
         Sg2 = lax.psum(Sg2, axis_name)
         Sgx2 = lax.psum(Sgx2, axis_name)
@@ -155,6 +160,7 @@ def _bwd_rule(eps, axis_name, pack, res, cts):
         xh=xh1, act="relu")
     Sg1 = jnp.sum(sums1[:, 0], axis=0)
     Sgx1 = jnp.sum(sums1[:, 1], axis=0)
+    Sg1_ret, Sgx1_ret = Sg1, Sgx1
     if axis_name is not None:
         Sg1 = lax.psum(Sg1, axis_name)
         Sgx1 = lax.psum(Sgx1, axis_name)
@@ -170,9 +176,9 @@ def _bwd_rule(eps, axis_name, pack, res, cts):
         dn1, x, _flip(w1), ones, zeros, y=y1, fin=fin1, carry=dn2,
         act="none")
 
-    return (dx, dW1.astype(w1.dtype), Sgx1.astype(g1.dtype),
-            Sg1.astype(b1.dtype), dW2.astype(w2.dtype),
-            Sgx2.astype(g2.dtype), Sg2.astype(b2.dtype))
+    return (dx, dW1.astype(w1.dtype), Sgx1_ret.astype(g1.dtype),
+            Sg1_ret.astype(b1.dtype), dW2.astype(w2.dtype),
+            Sgx2_ret.astype(g2.dtype), Sg2_ret.astype(b2.dtype))
 
 
 basic_block_fused.defvjp(_fwd_rule, _bwd_rule)

@@ -31,6 +31,16 @@ Constraint this kernel CANNOT remove: train-mode BN/IN needs the full
 (batch/image) moments of a conv's output before the normalize that feeds
 the NEXT conv, so a block is a chain of these kernels (one pass per conv),
 not one kernel per block.
+
+VMEM dispatch ledger (measured-calibrated, see _ledger): the BACKWARD
+kernel's scoped-VMEM footprint is modeled as 54*C*Co bytes of weight-grad
+state (dW f32 revisit 36*C*Co + bf16 flipped kernel 18*C*Co) plus ~10
+double-buffered bf16 main tiles and ~4 f32 Mosaic stack temporaries of
+th*W*max(C,Co) elements each, gated at 13.5 MiB. Calibration point (r4
+chip A/B): the C=512 en5 class measured 18.57 MiB scoped (>16 MiB Mosaic
+limit) while its B=1 lowering PROBE passed — probes under-detect, so the
+static ledger is the authoritative gate and probes are only a
+toolchain-regression canary (ops/fused_block.fused_block_dispatch_ok).
 """
 
 from __future__ import annotations
@@ -194,7 +204,7 @@ def fused_conv3x3_fwd(u, w, a, b, r=None, act: str = "none"):
             jax.ShapeDtypeStruct((B, H, W, Co), u.dtype),
             jax.ShapeDtypeStruct((B, 2, Co), jnp.float32),
         ),
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() in ("cpu", "gpu"),
     )(*args)
     return y, mom
 
@@ -405,7 +415,7 @@ def fused_conv3x3_bwd(g, u, wf, a_z, b_z, y=None, fin=None, xh=None,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() in ("cpu", "gpu"),
     )(*args)
     if emit_sums:
         return res

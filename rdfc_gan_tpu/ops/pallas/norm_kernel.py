@@ -103,28 +103,31 @@ def _plan(shape, dtype, pack: int, n_full_blocks: int):
     return None
 
 
-# lowering self-probe verdicts, keyed per (dtype, pack) — a Mosaic
-# regression specific to one dtype or pack mode (ADVICE r3: e.g. f32 or
-# pack=1) must not be masked by a passing bf16/pack=2 probe. If a probe
+# lowering self-probe verdicts, keyed per (dtype, pack, SHAPE CLASS).
+# Two lessons baked in (ADVICE r3 + the r4 fused-block under-detection):
+# a Mosaic regression specific to one dtype/pack must not be masked by a
+# passing probe of another, and a probe at a TOY shape can pass while the
+# real plane blows the scoped-VMEM limit — VMEM footprint depends on
+# (H, W, Ct, buffers), so the probe compiles the kernel at the REAL
+# (H, W, C) with B=2 (B=1 once passed while every B>1 instance failed:
+# the stats block's second-to-last dim must equal the array's). If a probe
 # instance does not compile, dispatch falls back to the XLA path for that
-# (dtype, pack) class only.
+# exact shape class only.
 _LOWERING_OK: dict = {}
 
 
-def _lowering_ok(dtype, pack: int) -> bool:
-    key = (jnp.dtype(dtype).name, pack)
+def _lowering_ok(dtype, pack: int, shape, n_full_blocks: int) -> bool:
+    _B, H, W, C = shape
+    key = (jnp.dtype(dtype).name, pack, H, W, C, n_full_blocks)
     if key not in _LOWERING_OK:
         try:
-            # B=2 so the probe exercises the real (B,1,C) stats-block tiling
-            # — a B=1 probe once passed while every B>1 instance failed to
-            # lower (the block's second-to-last dim must equal the array's)
-            x = jnp.zeros((2, 16, 16, 128), dtype)
+            x = jnp.zeros((2, H, W, C), dtype)
             jax.jit(lambda v: instance_norm_fwd_pallas(v, 1e-5, pack)[0]) \
                 .lower(x).compile()
-            dy = jnp.zeros((2, 16, 16, 128), dtype)
-            af = jnp.zeros((2, 128), jnp.float32)
-            jax.jit(lambda a, b, c: instance_norm_bwd_pallas(a, b, c, pack)) \
-                .lower(dy, dy, af).compile()
+            if n_full_blocks >= 2:
+                af = jnp.zeros((2, C), jnp.float32)
+                jax.jit(lambda a, b, c: instance_norm_bwd_pallas(
+                    a, b, c, pack)).lower(x, x, af).compile()
             _LOWERING_OK[key] = True
         except Exception as e:  # pragma: no cover - chip/toolchain specific
             import sys
@@ -164,7 +167,7 @@ def wants_pallas(shape, dtype, pack: int, n_full_blocks: int) -> bool:
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (on_tpu or _FORCE_PALLAS):
         return False
-    return _FORCE_PALLAS or _lowering_ok(dtype, pack)
+    return _FORCE_PALLAS or _lowering_ok(dtype, pack, shape, n_full_blocks)
 
 
 def _pair_merge(s, pack: int, Ct: int):

@@ -136,3 +136,43 @@ def test_basicblock_fused_equals_standard(rng, pack_mode, monkeypatch):
         assert str(pa) == str(pb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=8e-4, atol=8e-5, err_msg=str(pa))
+
+
+def test_syncbn_sharded_grads_match_unsharded(rng):
+    """Under a 'data' axis (SyncBN), psum of the per-replica param grads
+    must equal the unsharded full-batch grad — i.e. the returned dg/db are
+    PER-REPLICA sums, the repo's BatchNorm convention (advisor r4: the
+    fused path used to return psum'd sums, num_devices x too large)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    args = _setup(rng, B=8, H=8, W=12, C=8)
+    x, params = args[0], args[1:]
+    seed = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("data",))
+
+    def loss_global(x, *p):
+        out, _ = basic_block_fused(x, *p, 1e-5, None, 1)
+        return jnp.sum(out * seed)
+
+    want = jax.grad(loss_global, argnums=tuple(range(1, 7)))(x, *params)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")) + (P(),) * 6,
+             out_specs=P(), check_vma=False)
+    def sharded_grads(x, seed, *p):
+        def loss_local(*pp):
+            out, _ = basic_block_fused(x, *pp, 1e-5, "data", 1)
+            return jnp.sum(out * seed)
+
+        g = jax.grad(loss_local, argnums=tuple(range(6)))(*p)
+        return jax.tree.map(lambda v: jax.lax.psum(v, "data"), g)
+
+    got = sharded_grads(x, seed, *params)
+    names = ("dW1", "dg1", "db1", "dW2", "dg2", "db2")
+    for a, b, name in zip(got, want, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)

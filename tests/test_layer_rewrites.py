@@ -211,3 +211,28 @@ def test_instance_norm_pallas_dispatch_falls_back():
     assert nk._plan((8, 224, 152, 128), jnp.bfloat16, 2, 2) is None
     # C not a multiple of 128 above 128 -> refuse
     assert nk._plan((2, 16, 16, 192), jnp.float32, 1, 1) is None
+
+
+def test_instance_norm_probe_keyed_per_shape_class(monkeypatch):
+    """A lowering failure of ONE (dtype, pack, shape) instance must gate
+    only that shape class — the r4 fused-block lesson (a toy probe passed
+    while the real shape failed) and ADVICE r3 (one global verdict masked
+    per-instance regressions). Fakes a per-instance failure and checks the
+    verdict cache keys it independently."""
+    import rdfc_gan_tpu.ops.pallas.norm_kernel as nk
+
+    def fake_fwd(v, eps, pack):
+        if v.shape[1] == 20:  # the "bad" shape class
+            raise ValueError("fake Mosaic lowering failure")
+        return v, jnp.zeros((v.shape[0], v.shape[3]), jnp.float32)
+
+    monkeypatch.setattr(nk, "instance_norm_fwd_pallas", fake_fwd)
+    monkeypatch.setattr(nk, "_LOWERING_OK", {})
+    assert nk._lowering_ok(jnp.float32, 1, (2, 16, 16, 128), 1)
+    assert not nk._lowering_ok(jnp.float32, 1, (2, 20, 16, 128), 1)
+    # both verdicts recorded, keyed by their own shape class
+    assert nk._LOWERING_OK[("float32", 1, 16, 16, 128, 1)] is True
+    assert nk._LOWERING_OK[("float32", 1, 20, 16, 128, 1)] is False
+    # the good class is not re-probed (cache hit) after the bad one failed
+    monkeypatch.setattr(nk, "instance_norm_fwd_pallas", None)
+    assert nk._lowering_ok(jnp.float32, 1, (2, 16, 16, 128), 1)
