@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["known", "novel"])
     add("--batch_size", type=int, default=d.batch_size)
     add("--num_workers", type=int, default=d.num_workers)
+    add("--loader_backend", type=str, default=d.loader_backend,
+        choices=["thread", "process"],
+        help="process = GIL-free worker pool (reference workers_per_gpu)")
     add("--num_classes", type=int, default=d.num_classes)
     add("--resize_height", type=int, default=d.resize_height)
     add("--resize_width", type=int, default=d.resize_width)
@@ -85,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--test_only", action="store_true", default=False)
     add("--init_disc", action="store_true", default=False)
     add("--cal_fps", action="store_true", default=False)
+    add("--depth_only", action="store_true", default=False,
+        help="inference: skip aux heads (G_label) whose outputs pred_depth "
+             "never consumes (reference quirk rdfc_gan.py:172-180)")
     return p
 
 

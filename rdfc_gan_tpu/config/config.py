@@ -131,6 +131,10 @@ def default_config() -> Config:
             obj_type="known",
             batch_size=4,
             num_workers=8,
+            # "thread" overlaps GIL-released cv2 decode with the device
+            # step; "process" is the reference's workers_per_gpu process
+            # pool analog (helper.py:217-230) for hosts feeding many chips
+            loader_backend="thread",
             num_classes=14,
             resize_height=240,
             resize_width=320,

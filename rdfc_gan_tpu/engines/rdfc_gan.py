@@ -114,7 +114,8 @@ class RDFCGAN(BaseEngine):
         self._train_step = jax.jit(
             self._train_step_impl,
             donate_argnums=(0,) if cfg.get("donate", True) else ())
-        self._forward_test = jax.jit(self._forward_test_impl)
+        self._forward_test = jax.jit(self._forward_test_impl,
+                                     static_argnames=("depth_only",))
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, sample_batch) -> GANTrainState:
@@ -395,18 +396,28 @@ class RDFCGAN(BaseEngine):
         return self._train_step(state, batch, rng)
 
     # --------------------------------------------------------------- testing
-    def _forward_test_impl(self, params, batch_stats, rgb, raw_depth):
-        """rdfc_gan.py:168-182: label + normal prediction, then G_A2B."""
-        lbl, _ = self._apply(self.modules["G_label"], params["G_label"],
-                             batch_stats["G_label"], rgb, train=False)
+    def _forward_test_impl(self, params, batch_stats, rgb, raw_depth,
+                           depth_only=False):
+        """rdfc_gan.py:168-182: label + normal prediction, then G_A2B.
+
+        ``depth_only`` skips G_label entirely: its logits never feed
+        ``pred_depth`` (reference quirk — rdfc_gan.py:172-180 computes labels
+        the depth output ignores; SURVEY §7.4 "keep API, allow skip"). With
+        it set the PSPNet params/batch-stats are never read, so callers may
+        prune the ``G_label`` subtrees from the arguments (smaller export
+        artifact, less H2D)."""
+        if not depth_only:
+            lbl, _ = self._apply(self.modules["G_label"], params["G_label"],
+                                 batch_stats["G_label"], rgb, train=False)
         nrm, _ = self._apply(self.modules["G_normal"], params["G_normal"],
                              batch_stats["G_normal"], rgb, train=False)
         pred_normal = norm_normalize(nrm[..., :3])
         ret, _ = self._apply(self.modules["G_A2B"], params["G_A2B"],
                              batch_stats["G_A2B"], rgb, raw_depth, pred_normal,
                              train=False)
-        out = dict(pred_depth=ret["pred_depth"], pred_normal=pred_normal,
-                   pred_label=lbl)
+        out = dict(pred_depth=ret["pred_depth"], pred_normal=pred_normal)
+        if not depth_only:
+            out["pred_label"] = lbl
         if "nlspn_max_offset" in ret:
             # stencil-exactness telemetry on the REAL inference path
             # (predicted normals feed G_A2B) — ops/nlspn_guard.probe_max_offset
@@ -415,7 +426,9 @@ class RDFCGAN(BaseEngine):
 
     def forward_test(self, state: GANTrainState, **kwargs):
         return self._forward_test(state.params, state.batch_stats,
-                                  kwargs["rgb"], kwargs["raw_depth"])
+                                  kwargs["rgb"], kwargs["raw_depth"],
+                                  depth_only=bool(kwargs.get("depth_only",
+                                                             False)))
 
     __call__ = forward_test
 

@@ -20,8 +20,12 @@ from ..metrics import METRIC_NAMES, compute_depth_metrics
 
 class Eval:
     def __init__(self, dataloader, depth_mean: float = None,
-                 depth_std: float = None, t_valid: float = 1e-4):
+                 depth_std: float = None, t_valid: float = 1e-4,
+                 depth_only: bool = False):
         self.dataloader = dataloader
+        # skip aux heads (G_label) whose outputs the metric never consumes
+        # (reference quirk rdfc_gan.py:172-180 / SURVEY §7.4)
+        self.depth_only = depth_only
         # un-normalization stats come from the dataset (the v1 S2D datasets
         # use their own mean/std, not the NYUv2 (5,5) — VERDICT.md weak #6)
         ds = getattr(dataloader, "dataset", None)
@@ -56,7 +60,8 @@ class Eval:
         rows, idxs = [], []
         for data in self.dataloader:
             ret = model.forward_test(state, rgb=data["rgb"],
-                                     raw_depth=data["raw_depth"])
+                                     raw_depth=data["raw_depth"],
+                                     depth_only=self.depth_only)
             pd_ = ret["pred_depth"][..., 0] * self.depth_std + self.depth_mean
             gt = data["gt_depth"][..., 0] * self.depth_std + self.depth_mean
             em = data.get("evaluate_mask")

@@ -25,14 +25,15 @@ from rdfc_gan_tpu.utils.checkpoint import load_checkpoint
 
 
 def cal_fps(engine, state, loader, n_images: int = 300, warmup: int = 5,
-            logger=None):
+            logger=None, depth_only: bool = False):
     it = iter(loader)
     batch = next(it)
     from rdfc_gan_tpu.utils.sync import hard_sync
 
     for _ in range(warmup):
         ret = engine.forward_test(state, rgb=batch["rgb"],
-                                  raw_depth=batch["raw_depth"])
+                                  raw_depth=batch["raw_depth"],
+                                  depth_only=depth_only)
         hard_sync(ret)
     done = 0
     t0 = time.perf_counter()
@@ -43,7 +44,8 @@ def cal_fps(engine, state, loader, n_images: int = 300, warmup: int = 5,
             it = iter(loader)
             batch = next(it)
         ret = engine.forward_test(state, rgb=batch["rgb"],
-                                  raw_depth=batch["raw_depth"])
+                                  raw_depth=batch["raw_depth"],
+                                  depth_only=depth_only)
         hard_sync(ret)
         done += batch["rgb"].shape[0]
     dt = time.perf_counter() - t0
@@ -101,11 +103,12 @@ def main(argv=None):
             g_node.merge(g_cfg)
             engine = build_engine(cfg, is_train=False)
 
+    depth_only = bool(cfg.get("depth_only", False))
     if cfg.cal_fps:
-        cal_fps(engine, state, loader, logger=logger)
+        cal_fps(engine, state, loader, logger=logger, depth_only=depth_only)
         return 0
 
-    Eval(loader).evaluate(engine, state, logger)
+    Eval(loader, depth_only=depth_only).evaluate(engine, state, logger)
     return 0
 
 

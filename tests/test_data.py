@@ -310,3 +310,36 @@ def test_multiscale_label_feeds_pyramid_supervision():
         assert side.shape[1:3] == lbl.shape[1:3], rate
         total = total + softmax_cross_entropy_loss(side, lbl)
     assert np.isfinite(float(total))
+
+
+def test_process_loader_matches_thread_loader():
+    """worker_backend='process' must be bit-identical to the thread loader:
+    per-sample RNG is a pure fn of (seed, epoch, idx) (base.py:92), and the
+    workers sync the epoch before fetching."""
+    ds = SyntheticDataset(length=12, height=8, width=8)
+    thr = DataLoader(ds, 4, shuffle=True, seed=3)
+    prc = DataLoader(ds, 4, shuffle=True, seed=3, num_workers=2,
+                     worker_backend="process")
+    try:
+        for epoch in (0, 1):
+            thr.set_epoch(epoch)
+            prc.set_epoch(epoch)
+            for bt, bp in zip(thr, prc):
+                assert set(bt) == set(bp)
+                for k in bt:
+                    np.testing.assert_array_equal(bt[k], bp[k])
+    finally:
+        prc.close()
+
+
+def test_process_loader_pads_and_indices():
+    ds = SyntheticDataset(length=10, height=8, width=8)
+    dl = DataLoader(ds, 4, shuffle=False, drop_last=False, with_indices=True,
+                    num_workers=2, worker_backend="process")
+    try:
+        batches = list(dl)
+        assert len(batches) == 3
+        si = batches[-1]["sample_idx"]
+        assert (si == np.array([8, 9, -1, -1], np.int32)).all()
+    finally:
+        dl.close()

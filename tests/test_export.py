@@ -70,3 +70,68 @@ def test_export_is_deterministic_vs_live(exported):
     np.testing.assert_allclose(np.asarray(got["pred_depth"]),
                                np.asarray(want["pred_depth"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_depth_only_export_prunes_g_label_and_matches(tmp_path):
+    """--depth_only: G_label pruned from the calling convention, artifact
+    smaller, pred_depth identical to the full path (it never consumed the
+    labels — reference quirk rdfc_gan.py:172-180, SURVEY §7.4)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    import export_model as em
+
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "rdfc_gan_tiny.yaml")
+    out = str(tmp_path / "tiny_do.jaxexp")
+    rc = em.main(["--model_cfg_path", cfg, "--out", out, "--batch_size", "2",
+                  "--out_height", "32", "--out_width", "48", "--check",
+                  "--depth_only"])
+    assert rc == 0
+
+    args = em.parse_args(["--model_cfg_path", cfg, "--out", "/dev/null",
+                          "--batch_size", "2", "--out_height", "32",
+                          "--out_width", "48"])
+    engine, state, sample = em.build(args)
+    rgb = jnp.asarray(sample["rgb"])
+    depth = jnp.asarray(sample["raw_depth"])
+
+    with open(out, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    pruned_p = {k: v for k, v in state.params.items() if k != "G_label"}
+    pruned_s = {k: v for k, v in state.batch_stats.items() if k != "G_label"}
+    got = restored.call(pruned_p, pruned_s, rgb, depth)
+    assert "pred_label" not in got and "pred_depth" in got
+
+    want = jax.jit(engine._forward_test_impl)(
+        state.params, state.batch_stats, rgb, depth)
+    np.testing.assert_allclose(np.asarray(got["pred_depth"]),
+                               np.asarray(want["pred_depth"]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_forward_test_depth_only_flag_matches_full():
+    """Engine-level: forward_test(depth_only=True) returns the same
+    pred_depth/pred_normal as the full call, minus pred_label."""
+    import jax
+
+    import export_model as em
+
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "rdfc_gan_tiny.yaml")
+    args = em.parse_args(["--model_cfg_path", cfg, "--out", "/dev/null",
+                          "--batch_size", "2", "--out_height", "32",
+                          "--out_width", "48"])
+    engine, state, sample = em.build(args)
+    full = engine.forward_test(state, rgb=sample["rgb"],
+                               raw_depth=sample["raw_depth"])
+    do = engine.forward_test(state, rgb=sample["rgb"],
+                             raw_depth=sample["raw_depth"], depth_only=True)
+    assert "pred_label" in full and "pred_label" not in do
+    np.testing.assert_allclose(np.asarray(do["pred_depth"]),
+                               np.asarray(full["pred_depth"]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(do["pred_normal"]),
+                               np.asarray(full["pred_normal"]),
+                               rtol=2e-5, atol=2e-5)

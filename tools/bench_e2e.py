@@ -41,6 +41,10 @@ def main():
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--scenes", type=int, default=200)
     p.add_argument("--loader_only", action="store_true")
+    p.add_argument("--backend", default="thread",
+                   choices=["thread", "process"],
+                   help="process = GIL-free worker pool "
+                        "(reference workers_per_gpu analog)")
     args = p.parse_args()
 
     ensure_fixture(args.data_root, args.scenes)
@@ -58,19 +62,20 @@ def main():
                             data_root=args.data_root, num_classes=14,
                             seed=0))
     loader = DataLoader(ds, args.batch, shuffle=True, drop_last=True, seed=0,
-                        num_workers=args.workers)
+                        num_workers=args.workers,
+                        worker_backend=args.backend)
 
     # (a) loader standalone: decode + augment + stack, no device in the loop
     n = 0
     it = iter(loader)
-    next(it)  # warm the thread pool / page cache
+    next(it)  # warm the worker pool / page cache
     t0 = time.perf_counter()
     for batch in it:
         n += batch["rgb"].shape[0]
     dt = time.perf_counter() - t0
     loader_ips = n / dt
     print(f"loader standalone: {loader_ips:.1f} img/s "
-          f"({args.workers} workers, {n} imgs)")
+          f"({args.workers} {args.backend} workers, {n} imgs)")
     if args.loader_only:
         return
 

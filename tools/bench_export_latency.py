@@ -66,6 +66,9 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--out_height", type=int, default=224)
     p.add_argument("--out_width", type=int, default=304)
+    p.add_argument("--depth_only", action="store_true", default=False,
+                   help="serve the pred_depth-only program (G_label skipped "
+                        "+ pruned — tools/export_model.py --depth_only)")
     args = p.parse_args()
 
     import jax
@@ -94,16 +97,27 @@ def main() -> int:
               "gt_depth": np.zeros((b, h, w, 1), np.float32)}
     state = engine.init_state(jax.random.PRNGKey(0), sample)
 
-    fn = jax.jit(engine._forward_test_impl)
-    params = jax.device_put(state.params)
-    stats = jax.device_put(state.batch_stats)
+    if args.depth_only:
+        import functools
+
+        fn = jax.jit(functools.partial(engine._forward_test_impl,
+                                       depth_only=True))
+        state_params = {k: v for k, v in state.params.items()
+                        if k != "G_label"}
+        state_stats = {k: v for k, v in state.batch_stats.items()
+                       if k != "G_label"}
+    else:
+        fn = jax.jit(engine._forward_test_impl)
+        state_params, state_stats = state.params, state.batch_stats
+    params = jax.device_put(state_params)
+    stats = jax.device_put(state_stats)
 
     # the serving loop's per-call H2D of the image is part of the latency;
     # params/stats stay resident (they would on any real server)
     def live_call(rgb_np, depth_np):
         return fn(params, stats, jnp.asarray(rgb_np), jnp.asarray(depth_np))
 
-    exp = jexport.export(fn)(state.params, state.batch_stats,
+    exp = jexport.export(fn)(state_params, state_stats,
                              jnp.asarray(sample["rgb"]),
                              jnp.asarray(sample["raw_depth"]))
     restored = jexport.deserialize(exp.serialize())
@@ -119,6 +133,7 @@ def main() -> int:
     dev = jax.devices()[0]
     print(json.dumps({
         "metric": "export_serving_latency", "batch": args.batch,
+        "depth_only": args.depth_only,
         "shape": [h, w], "device": str(dev.device_kind),
         "platform": dev.platform,
         "aot_export": aot, "live_jit": live,

@@ -54,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument("--check", action="store_true",
                    help="deserialize + run on the current backend and "
                         "compare pred_depth to the live engine")
+    p.add_argument("--depth_only", action="store_true", default=False,
+                   help="export the pred_depth-only program: G_label is "
+                        "skipped (its logits never feed pred_depth — "
+                        "reference quirk rdfc_gan.py:172-180) and its "
+                        "param/batch-stat subtrees are pruned from the "
+                        "artifact's calling convention")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -100,11 +106,22 @@ def main(argv=None) -> int:
     rgb = jnp.asarray(sample["rgb"])
     depth = jnp.asarray(sample["raw_depth"])
 
-    fn = jax.jit(engine._forward_test_impl)
+    params, stats = state.params, state.batch_stats
+    if args.depth_only:
+        import functools
+
+        fn = jax.jit(functools.partial(engine._forward_test_impl,
+                                       depth_only=True))
+        # G_label is never read on the depth-only path — prune its subtrees
+        # so the serving host neither loads nor uploads the PSPNet weights.
+        params = {k: v for k, v in params.items() if k != "G_label"}
+        stats = {k: v for k, v in stats.items() if k != "G_label"}
+    else:
+        fn = jax.jit(engine._forward_test_impl)
     platforms = ([s.strip() for s in args.platforms.split(",") if s.strip()]
                  or None)
     exp = jexport.export(fn, platforms=platforms)(
-        state.params, state.batch_stats, rgb, depth)
+        params, stats, rgb, depth)
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -114,8 +131,8 @@ def main(argv=None) -> int:
 
     if args.check:
         restored = jexport.deserialize(blob)
-        got = restored.call(state.params, state.batch_stats, rgb, depth)
-        want = fn(state.params, state.batch_stats, rgb, depth)
+        got = restored.call(params, stats, rgb, depth)
+        want = fn(params, stats, rgb, depth)
         import numpy as np
 
         np.testing.assert_allclose(np.asarray(got["pred_depth"]),

@@ -52,7 +52,10 @@ def get_dataloaders(cfg, mesh):
         else mesh.devices.size
     train_loader = DataLoader(train_ds, cfg.batch_size * n_local,
                               shuffle=True, drop_last=True, seed=cfg.seed,
-                              sharding=sh, per_process=multi)
+                              sharding=sh, per_process=multi,
+                              num_workers=cfg.num_workers,
+                              worker_backend=cfg.get("loader_backend",
+                                                     "thread"))
     # drop_last=False + with_indices: best-ckpt selection must see every val
     # image (reference per-image mean over the full split,
     # rdf_gan_metric.py:135-151); pad rows are masked out by Eval.
