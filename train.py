@@ -104,7 +104,10 @@ def main(argv=None):
     minimize = cfg.criterion_to_get_best_ckpt in ("RMSE", "MAE", "iRMSE",
                                                   "iMAE", "REL")
     best = float("inf") if minimize else float("-inf")
-    it = 0
+    # global step continues across --resume_from: the per-step RNG is
+    # fold_in(root_key, it), so a resumed run replays the exact key stream
+    # of an uninterrupted one (resume-equivalence, VERDICT r4 #6)
+    it = start_epoch * len(train_loader)
     t0 = time.time()
     timer = StepTimer()
     profile_dir = cfg.get("profile_dir")
