@@ -48,6 +48,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # report the projection as a band [torus-rate, mesh-rate] instead of
 # pretending one number.
 V5E_ICI_ONEWAY_BPS = 4.5e10
+# per-collective launch+hop latency for the many tiny (sub-MB) collectives
+# — the 8-chip program carries one ~48-float stat all-reduce per BatchNorm
+# reduce (GSPMD partitions the global-batch reduction = SyncBN semantics by
+# construction). Reported as a [low, high] band; the true number is
+# topology/runtime dependent.
+ICI_SMALL_COLLECTIVE_US = (2.0, 5.0)
 
 
 def allreduce_ms(nbytes: float, n_chips: int, n_axes: int,
@@ -82,36 +88,49 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
+# the shape may be a TUPLE with nested parens in its layout annotations
+# (e.g. "(f32[48]{0:T(128)S(1)}, f32[48]{0:T(128)S(1)}) all-reduce(") — match
+# the op token first and take everything between "=" and it as the shape.
 _COLL_RE = re.compile(
-    r"=\s*((?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?))\s+"
+    r"=\s*(.*?)\s+"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(")
+    r"(-start)?\(")
 
 
 def audit_collectives(hlo_text: str):
     """Inventory of collective ops in the optimized HLO: count + bytes per
-    kind + the largest instances. *-done ops are skipped (the -start carries
-    the shape; counting both would double)."""
+    kind + the largest instances, plus a small/large split (cross-replica
+    BatchNorm stat syncs are many tiny latency-bound all-reduces; the
+    gradient reduction is few large bandwidth-bound ones). *-done ops are
+    skipped (the -start carries the shape; counting both would double)."""
     by_kind = collections.Counter()
     bytes_by_kind = collections.Counter()
+    small = {"count": 0, "bytes": 0}   # < 1 MB: latency-bound (BN syncs...)
+    large = {"count": 0, "bytes": 0}
     largest = []
     for line in hlo_text.splitlines():
-        if "-done(" in line:
+        if "-done(" in line or " get-tuple-element(" in line:
             continue
         m = _COLL_RE.search(line)
         if not m:
             continue
-        shape, kind = m.groups()
+        shape, kind, _start = m.groups()
         b = shape_bytes(shape)
         by_kind[kind] += 1
         bytes_by_kind[kind] += b
-        largest.append((b, kind, shape[:120]))
+        bucket = small if b < 1 << 20 else large
+        bucket["count"] += 1
+        bucket["bytes"] += b
+        mm = re.search(r'op_name="([^"]*)"', line)
+        largest.append((b, kind, shape[:120], mm.group(1) if mm else ""))
     largest.sort(reverse=True)
     return {
         "counts": dict(by_kind),
         "bytes": {k: int(v) for k, v in bytes_by_kind.items()},
-        "top": [{"bytes": b, "kind": k, "shape": s}
-                for b, k, s in largest[:12]],
+        "small_lt_1mb": small,
+        "large_ge_1mb": large,
+        "top": [{"bytes": b, "kind": k, "shape": s, "op_name": o}
+                for b, k, s, o in largest[:12]],
     }
 
 
