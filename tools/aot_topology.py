@@ -240,6 +240,13 @@ def main() -> int:
 
     # ---------------- scaling projection (documented assumptions above)
     ar_bytes = coll["bytes"].get("all-reduce", 0)
+    # non-all-reduce collective bytes (collective-permute / all-to-all the
+    # partitioner inserted) cross the ICI once; small (<1 MB) collectives
+    # are latency-bound — charge the per-op launch+hop band instead of
+    # bandwidth (they are BN stat syncs of ~200 B each)
+    other_bytes = sum(v for k, v in coll["bytes"].items()
+                      if k != "all-reduce")
+    n_small = coll["small_lt_1mb"]["count"]
     # grad truth: trainable param bytes of the state (f32 grads)
     import jax.numpy as jnp  # noqa: F401
 
@@ -247,10 +254,15 @@ def main() -> int:
         int(np.prod(a.shape)) * a.dtype.itemsize
         for a in jax.tree.leaves(state_avals.params))
     axes = 2 if "x" in args.topology.split(":")[-1] else 1
-    t_ar_torus = allreduce_ms(ar_bytes, n, axes, torus=True)
-    t_ar_mesh = allreduce_ms(ar_bytes, n, axes, torus=False)
     t1 = args.measured_step_ms
     per_chip = args.per_chip_batch
+
+    def comm_ms(torus: bool) -> float:
+        agg = axes * V5E_ICI_ONEWAY_BPS * 2.0 / (1.0 if torus else 2.0)
+        lat_us = ICI_SMALL_COLLECTIVE_US[0 if torus else 1]
+        return (allreduce_ms(ar_bytes, n, axes, torus=torus)
+                + other_bytes / agg * 1e3
+                + n_small * lat_us * 1e-3)
 
     def project(t_ar):
         # pessimistic: zero overlap of the grad all-reduce with backward
@@ -259,7 +271,7 @@ def main() -> int:
         # optimistic: full overlap (comm < compute here by a wide margin)
         t_overlap = max(t1, t_ar)
         return {
-            "allreduce_ms": round(t_ar, 2),
+            "comm_ms": round(t_ar, 2),
             "step_ms_no_overlap": round(t_noverlap, 2),
             "step_ms_full_overlap": round(t_overlap, 2),
             "imgs_per_sec_no_overlap": round(
@@ -291,8 +303,8 @@ def main() -> int:
             "note": "band = [wrapped-torus rate, open-mesh rate]; v5e "
                     "slices smaller than 16 per axis are open meshes",
         },
-        "projection_torus": project(t_ar_torus),
-        "projection_mesh": project(t_ar_mesh),
+        "projection_torus": project(comm_ms(torus=True)),
+        "projection_mesh": project(comm_ms(torus=False)),
     }
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
