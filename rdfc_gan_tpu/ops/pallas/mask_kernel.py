@@ -68,8 +68,16 @@ def _gather_kernel(dm_ref, sy_ref, sx_ref, out_ref, *, K: int, S: int):
     jax.lax.fori_loop(0, K, body, 0)
 
 
-def _block_h(H: int) -> int:
-    for bh in (8, 4, 2, 1):
+def _block_h(H: int, bytes_per_row: int = 0,
+             budget: int = 10 * 1024 * 1024) -> int:
+    """Largest row-tile height dividing H whose VMEM ledger fits ``budget``
+    (in/out blocks double-buffered by the Pallas pipeline + scratch).
+    Bigger tiles amortize the per-grid-step overhead of these elementwise
+    kernels — bh=8 measured ~2x slower than bh=28 at 224x304 (PERF_NOTES
+    round 5). ``bytes_per_row``=0 keeps the legacy bh<=8 behavior."""
+    for bh in (32, 28, 16, 14, 8, 7, 4, 2, 1):
+        if bh > 8 and (not bytes_per_row or bh * bytes_per_row > budget):
+            continue
         if H % bh == 0:
             return bh
     return 1
@@ -94,7 +102,11 @@ def _scatter_fwd_impl(w, sy, sx, S):
         onehot = jax.nn.one_hot(sidx, S * S, dtype=w.dtype, axis=1)
         return jnp.einsum("bkhw,bskhw->bshw", w, onehot,
                           preferred_element_type=jnp.float32).astype(w.dtype)
-    bh = _block_h(H)
+    # per-row ledger: w/sy/sx in-blocks + M out-block (double-buffered) +
+    # the f32 accumulator scratch
+    row = (2 * K * W * (w.dtype.itemsize + 8)
+           + 2 * S * S * W * w.dtype.itemsize + S * S * W * 4)
+    bh = _block_h(H, row)
     kernel = functools.partial(_scatter_kernel, K=K, S=S)
     return pl.pallas_call(
         kernel,
@@ -127,7 +139,9 @@ def _scatter_bwd(S, res, dM):
         sidx = sy * S + sx
         dw = jnp.take_along_axis(dM, sidx, axis=1, mode="clip")
         return dw.astype(wdt), None, None
-    bh = _block_h(H)
+    row = (2 * (S * S * W * dM.dtype.itemsize + K * W * 8)
+           + 2 * K * W * jnp.dtype(wdt).itemsize)
+    bh = _block_h(H, row)
     kernel = functools.partial(_gather_kernel, K=K, S=S)
     dw = pl.pallas_call(
         kernel,
@@ -150,18 +164,21 @@ def _scatter_bwd(S, res, dM):
 scatter_shift_masks.defvjp(_scatter_fwd, _scatter_bwd)
 
 
-def _corr_kernel(g_ref, xp_ref, out_ref, acc, *, T: int, S: int, lo: int,
-                 pad: int, bh: int, W: int):
+def _corr_kernel(g_ref, xp_ref, out_ref, acc, xs, *, T: int, S: int,
+                 lo: int, pad: int, bh: int, W: int):
     acc[...] = jnp.zeros_like(acc)
 
     def body(t, _):
         g = g_ref[t, 0]      # (bh, W)
         xp = xp_ref[t, 0]    # (bh + 2*pad, W + 2*pad)
-        for iy in range(S):
-            ry = pad + lo + iy
-            for ix in range(S):
-                rx = pad + lo + ix
-                acc[iy * S + ix] += g * xp[ry:ry + bh, rx:rx + W]
+        # lane-shift factoring (see nlspn_kernel._kernel): one unaligned
+        # column copy per ix, then S lane-aligned multiply-adds over it
+        for ix in range(S):
+            rx = pad + lo + ix
+            xs[...] = xp[:, rx:rx + W]
+            for iy in range(S):
+                ry = pad + lo + iy
+                acc[iy * S + ix] += g * xs[ry:ry + bh, :]
         return 0
 
     jax.lax.fori_loop(0, T, body, 0)
@@ -192,7 +209,9 @@ def shift_correlation(G: jnp.ndarray, X: jnp.ndarray, S: int, lo: int,
                     G * Xp[:, :, pad + dy: pad + dy + H,
                            pad + dx: pad + dx + W], axis=0))
         return jnp.stack(planes, axis=1).astype(out_dtype)
-    bh = _block_h(H)
+    row = (2 * T * W * (G.dtype.itemsize + Xp.dtype.itemsize)
+           + 3 * S * S * W * 4)  # g+xp blocks (2x), acc scratch + out
+    bh = _block_h(H, row)
     kernel = functools.partial(_corr_kernel, T=T, S=S, lo=lo, pad=pad,
                                bh=bh, W=W)
     return pl.pallas_call(
@@ -212,5 +231,6 @@ def shift_correlation(G: jnp.ndarray, X: jnp.ndarray, S: int, lo: int,
         out_specs=pl.BlockSpec((1, S * S, bh, W), lambda b, h: (b, 0, h, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S * S, H, W), out_dtype),
-        scratch_shapes=[pltpu.VMEM((S * S, bh, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((S * S, bh, W), jnp.float32),
+                        pltpu.VMEM((bh + 2 * pad, W), Xp.dtype)],
     )(G, Xp)

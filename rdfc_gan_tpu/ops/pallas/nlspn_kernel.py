@@ -52,7 +52,7 @@ def _kernel(feat_ref, M_ref, *rest,
     fixmask_ref = rest.pop(0) if preserve else None
     out_ref = rest.pop(0)
     x_ref = rest[0] if emit_x else None
-    fp, acc = rest[-2:]
+    fp, fx, acc = rest[-3:]
     H, W = feat_ref.shape[1], feat_ref.shape[2]
     # zero the padded scratch once; borders stay zero (CUDA zero-pad parity)
     fp[...] = jnp.zeros_like(fp)
@@ -66,14 +66,20 @@ def _kernel(feat_ref, M_ref, *rest,
             x_ref[t, 0] = feat.astype(x_ref.dtype)
         fp[pad:pad + H, pad:pad + W] = feat
         # in-place ref accumulation: a functional acc chain keeps all S*S
-        # unrolled slice temporaries live on the Mosaic stack (VMEM OOM)
+        # unrolled slice temporaries live on the Mosaic stack (VMEM OOM).
+        # Shift factoring: a W-shift (lane axis) is an expensive unaligned
+        # vector op, an H-shift (sublane axis) is cheap — hoist the S lane
+        # shifts out of the S*S tap loop (one (H+2p, W) column copy per ix)
+        # so the S*S multiply-adds all run lane-ALIGNED. Measured 4x on the
+        # chip vs the direct 2-D slice form (docs/PERF_NOTES.md round 5).
         acc[...] = jnp.zeros((H, W), jnp.float32)
-        for iy in range(S):
-            for ix in range(S):
-                dy, dx = lo + iy, lo + ix
+        for ix in range(S):
+            dx = lo + ix
+            fx[...] = fp[:, pad + dx:pad + dx + W]
+            for iy in range(S):
+                dy = lo + iy
                 m = M_ref[0, iy, ix].astype(jnp.float32)
-                acc[...] += m * fp[pad + dy:pad + dy + H,
-                                   pad + dx:pad + dx + W]
+                acc[...] += m * fx[pad + dy:pad + dy + H, :]
         return 0
 
     jax.lax.fori_loop(0, T, body, 0)
@@ -103,6 +109,7 @@ def _chain_kernel(g_ref, M_ref, *rest, T: int, S: int, lo: int, pad: int,
     dfeat_ref = rest.pop(0)
     dfix_ref = rest.pop(0) if preserve else None
     accp = rest.pop(0)
+    tacc = rest.pop(0)
     gg = rest.pop(0)
     dfix_acc = rest.pop(0) if preserve else None
     H, W = g_ref.shape[1], g_ref.shape[2]
@@ -114,12 +121,17 @@ def _chain_kernel(g_ref, M_ref, *rest, T: int, S: int, lo: int, pad: int,
         t = T - 1 - i
         gout_ref[t, 0] = gg[...].astype(gout_ref.dtype)
         accp[...] = jnp.zeros_like(accp)
-        for iy in range(S):
-            for ix in range(S):
-                dy, dx = lo + iy, lo + ix
+        # same shift factoring as the forward kernel: accumulate the S
+        # sublane (H) shifts into a column-aligned (H+2p, W) buffer, then
+        # commit each column group with ONE unaligned lane-shifted add
+        for ix in range(S):
+            dx = lo + ix
+            tacc[...] = jnp.zeros_like(tacc)
+            for iy in range(S):
+                dy = lo + iy
                 m = M_ref[0, iy, ix].astype(jnp.float32)
-                accp[pad + dy:pad + dy + H,
-                     pad + dx:pad + dx + W] += m * gg[...]
+                tacc[pad + dy:pad + dy + H, :] += m * gg[...]
+            accp[:, pad + dx:pad + dx + W] += tacc[...]
         dx_c = accp[pad:pad + H, pad:pad + W]
         if preserve:
             fm = fixmask_ref[0] != 0
@@ -174,6 +186,7 @@ def _pallas_forward_x(feat0, M, fix, fixmask, T: int, R: int,
         out_shape=[jax.ShapeDtypeStruct((B, H, W), jnp.float32),
                    jax.ShapeDtypeStruct((T, B, H, W), x_dtype)],
         scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+                        pltpu.VMEM((H + 2 * pad, W), jnp.float32),
                         pltpu.VMEM((H, W), jnp.float32)],
     )(*args)
 
@@ -203,6 +216,7 @@ def _pallas_reverse_chain(g0, M, fixmask, T: int, R: int, preserve: bool,
     out_shape = [jax.ShapeDtypeStruct((T, B, H, W), g_dtype),
                  jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
     scratch = [pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+               pltpu.VMEM((H + 2 * pad, W), jnp.float32),
                pltpu.VMEM((H, W), jnp.float32)]
     if preserve:
         in_specs.append(_plane_spec(H, W))
@@ -236,6 +250,7 @@ def _bwd_kernels_fit(H: int, W: int, S: int, T: int, pad: int,
               + T * H * W * stack_bytes              # X / G stack (single)
               + 2 * 2 * plane                        # in g0/feat + out plane
               + (H + 2 * pad) * (W + 2 * pad) * 4    # padded scratch
+              + (H + 2 * pad) * W * 4                # column-shift scratch
               + plane)                               # acc scratch
     if preserve:
         ledger += 2 * 2 * plane + 2 * plane  # fix+fixmask in, dfix out+acc
@@ -271,6 +286,7 @@ def _pallas_forward(feat0, M, fix, fixmask, T: int, R: int, preserve: bool):
         out_specs=_plane_spec(H, W),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((H + 2 * pad, W + 2 * pad), jnp.float32),
+                        pltpu.VMEM((H + 2 * pad, W), jnp.float32),
                         pltpu.VMEM((H, W), jnp.float32)],
     )(*args)
 

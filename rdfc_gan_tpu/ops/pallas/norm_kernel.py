@@ -97,7 +97,14 @@ def _plan(shape, dtype, pack: int, n_full_blocks: int):
     # chunked f32 stats transients (ch=8 rows, two arrays) + stats scratch
     transients = 2 * 8 * wp * _LANES * 4
     fixed = 2 * tile + transients
-    for buffers in (2, 1):
+    # RDFC_PALLAS_IN_DB_ONLY: engage only where the plane double-buffers
+    # (r4 chip A/B showed the single-buffered full-res planes were the
+    # regression — DMA serialized against compute); the sub-full-res
+    # planes still get the one-read kernel, full-res falls back to XLA
+    import os
+
+    modes = ((2,) if os.environ.get("RDFC_PALLAS_IN_DB_ONLY") else (2, 1))
+    for buffers in modes:
         if buffers * n_full_blocks * plane + fixed < _vmem_budget():
             return Ct, bh, buffers
     return None

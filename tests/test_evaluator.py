@@ -100,7 +100,7 @@ def test_eval_covers_every_image_with_padding():
     dl = DataLoader(ds, 4, shuffle=False, drop_last=False, with_indices=True)
 
     class EchoModel:
-        def forward_test(self, state, rgb, raw_depth):
+        def forward_test(self, state, rgb, raw_depth, depth_only=False):
             return {"pred_depth": raw_depth}
 
     ev = Eval(dl)
