@@ -120,8 +120,6 @@ def main():
         "outres_vjp_bn": not _outres_vjp_disabled("bn"),
         "outres_vjp_in": not _outres_vjp_disabled("in"),
         "w_packed": True,  # YAML-default packed set (ops/packed.py)
-        # chip-regressive, default off (PERF_AB r4: 298.1 vs 254.8 ms)
-        "fused_blocks": bool(cfg.model.G_A2B.get("fused_blocks", False)),
         # NLSPN Pallas backward (r4: 331.0 -> 305.6 ms on the NLSPN
         # config); inert here unless use_nlspn_refine is on
         "nlspn_pallas_bwd": not os.environ.get(

@@ -25,8 +25,6 @@ class EncoderDecoder(nn.Module):
     # W-packed full-res region (ops/packed.py): en2 consumes/produces
     # packed tensors, en3 unpacks on entry, de2 emits packed output.
     packed: bool = False
-    # Pallas fused BasicBlocks (ops/fused_block.py) for the s1 stages
-    fused_blocks: bool = False
 
     def setup(self):
         depth = {"resnet18": 18, "resnet34": 34}[self.encoder_type]
@@ -34,8 +32,7 @@ class EncoderDecoder(nn.Module):
         # [64,128,256,512,512]); narrower configs give cheap test torsos
         stages = make_stages(depth, axis_name=self.axis_name,
                              planes=tuple(self.encoder_channels[:4]),
-                             packed_stage1=self.packed,
-                             fused=self.fused_blocks)
+                             packed_stage1=self.packed)
         self.en2, self.en3, self.en4, self.en5 = stages
         self.en6 = ConvBNAct(self.encoder_channels[-1], kernel=3, stride=2,
                              axis_name=self.axis_name)

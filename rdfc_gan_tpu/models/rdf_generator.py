@@ -62,10 +62,6 @@ class RDFGenerator(nn.Module):
     # mathematically exact, param tree unchanged, ~half the physical HBM
     # traffic of the low-lane full-res stages. Requires even input width.
     packed_width: bool = False
-    # Pallas fused BasicBlocks in the two encoder torsos
-    # (ops/fused_block.py): same math, ~2/3 the HBM passes per block in
-    # train mode. Param tree unchanged.
-    fused_blocks: bool = False
 
     def _fuse_channels(self, level: int) -> int:
         """Channel count entering fuse layer `level` (1-indexed as reference)."""
@@ -88,13 +84,11 @@ class RDFGenerator(nn.Module):
         self.rgb_ed = EncoderDecoder(
             encoder_type=self.encoder_rgb, skip_type=self.rgb_skip_connection_type,
             encoder_channels=rce[1:], decoder_channels=rcd,
-            axis_name=self.axis_name, packed=self.packed_width,
-            fused_blocks=self.fused_blocks)
+            axis_name=self.axis_name, packed=self.packed_width)
         self.depth_ed = EncoderDecoder(
             encoder_type=self.encoder_depth, skip_type=self.depth_skip_connection_type,
             encoder_channels=dce[1:], decoder_channels=dcd,
-            axis_name=self.axis_name, packed=self.packed_width,
-            fused_blocks=self.fused_blocks)
+            axis_name=self.axis_name, packed=self.packed_width)
 
         if self.use_nlspn_refine:
             cfgs = dict(self.nlspn_configs or {})

@@ -28,24 +28,10 @@ class BasicBlock(nn.Module):
     # | 'exit' (packed in, unpacked out — the stride-2 stage entry).
     # Param names/shapes are identical in every mode.
     pack_mode: str = "none"
-    # Pallas fused-block fast path (ops/fused_block.py): the whole
-    # conv-bn-relu-conv-bn-add-relu chain in 5 tensor passes instead of
-    # XLA's ~9 (docs/PERF_NOTES.md round-4). Train-mode, stride-1,
-    # identity-shortcut blocks only; params/batch_stats trees identical,
-    # so checkpoints and the torch converter are unaffected.
-    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         full = self.pack_mode == "full"
-        if (self.fused and train and self.stride == 1
-                and self.dilation == 1
-                and self.pack_mode in ("none", "full")
-                and x.shape[-1] == self.planes * (2 if full else 1)):
-            from ..ops.fused_block import fused_block_dispatch_ok
-
-            if fused_block_dispatch_ok(x, x.shape[-1]):
-                return self._fused_call(x)
 
         def bn(z, packed: bool):
             return BatchNorm(use_running_average=not train, momentum=0.9,
@@ -93,73 +79,6 @@ class BasicBlock(nn.Module):
                            out_packed=full, name="Conv_2")(x)
             x = bn(x, full)
         return nn.relu(out + x)
-
-
-    def _fused_call(self, x):
-        """Pallas fused-block path. Declares the SAME variable tree as the
-        standard branches via holder modules (Conv_N/kernel,
-        BatchNorm_N/{scale,bias} + batch_stats {mean,var}), so the two
-        paths are checkpoint-interchangeable; eval/converter flows keep
-        using the standard branch."""
-        import jax
-
-        from ..ops.fused_block import basic_block_fused
-
-        full = self.pack_mode == "full"
-        C = self.planes
-        w1 = _KernelHolder((3, 3, C, C), kaiming_init, name="Conv_0")()
-        w2 = _KernelHolder((3, 3, C, C), kaiming_init, name="Conv_1")()
-        s1, b1, rm1, rv1 = _BNHolder(C, name="BatchNorm_0")()
-        s2, b2, rm2, rv2 = _BNHolder(C, name="BatchNorm_1")()
-        if full:
-            from ..ops.packed import pack_kernel
-
-            pw1, _, _ = pack_kernel(w1, 1, 1, True)
-            pw2, _, _ = pack_kernel(w2, 1, 1, True)
-            out, (m1, v1, m2, v2) = basic_block_fused(
-                x, pw1.astype(x.dtype), jnp.repeat(s1, 2),
-                jnp.repeat(b1, 2), pw2.astype(x.dtype), jnp.repeat(s2, 2),
-                jnp.repeat(b2, 2), 1e-5, self.axis_name, 2)
-            m1, v1, m2, v2 = m1[::2], v1[::2], m2[::2], v2[::2]
-        else:
-            out, (m1, v1, m2, v2) = basic_block_fused(
-                x, w1.astype(x.dtype), s1, b1, w2.astype(x.dtype), s2, b2,
-                1e-5, self.axis_name, 1)
-        if not self.is_initializing():
-            mom = 0.9
-            sg = jax.lax.stop_gradient
-            rm1.value = mom * rm1.value + (1 - mom) * sg(m1)
-            rv1.value = mom * rv1.value + (1 - mom) * sg(v1)
-            rm2.value = mom * rm2.value + (1 - mom) * sg(m2)
-            rv2.value = mom * rv2.value + (1 - mom) * sg(v2)
-        return out
-
-
-class _KernelHolder(nn.Module):
-    """Declares Conv_N/kernel with nn.Conv's exact param name/shape."""
-
-    shape: tuple
-    kernel_init: Callable
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", self.kernel_init, self.shape)
-
-
-class _BNHolder(nn.Module):
-    """Declares BatchNorm_N's params + batch_stats (layers.BatchNorm)."""
-
-    feat: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones, (self.feat,))
-        bias = self.param("bias", nn.initializers.zeros, (self.feat,))
-        m = self.variable("batch_stats", "mean",
-                          lambda: jnp.zeros((self.feat,), jnp.float32))
-        v = self.variable("batch_stats", "var",
-                          lambda: jnp.ones((self.feat,), jnp.float32))
-        return scale, bias, m, v
 
 
 class Bottleneck(nn.Module):
@@ -210,8 +129,6 @@ class ResNetStage(nn.Module):
     # 'none' | 'full' (every block W-packed) | 'exit' (block 0 takes packed
     # input and unpacks — for the stage after a packed one)
     pack_mode: str = "none"
-    # Pallas fused BasicBlock fast path (ops/fused_block.py; BasicBlock only)
-    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -227,8 +144,6 @@ class ResNetStage(nn.Module):
             elif self.pack_mode == "exit" and i == 0:
                 pm = "exit"
             extra = {"pack_mode": pm} if pm != "none" else {}
-            if self.fused and self.block is BasicBlock:
-                extra["fused"] = True
             x = self.block(
                 planes=self.planes,
                 stride=self.stride if i == 0 else 1,
@@ -250,7 +165,6 @@ def make_stages(depth: int, dilated: bool = False,
                 axis_name: Optional[str] = None,
                 planes: Sequence[int] = (64, 128, 256, 512),
                 packed_stage1: bool = False,
-                fused: bool = False,
                 ) -> Tuple[ResNetStage, ...]:
     """Build layer1..layer4. ``dilated``: PSPNet-style output-stride 8
     (layer3 dilation 2, layer4 dilation 4 with multi-grid (1,2,4) and no
@@ -274,7 +188,7 @@ def make_stages(depth: int, dilated: bool = False,
     return tuple(
         ResNetStage(block=block, planes=p, num_blocks=nb, stride=s,
                     dilation=d, first_dilation=f, multi_grid=m,
-                    axis_name=axis_name, pack_mode=pm, fused=fused)
+                    axis_name=axis_name, pack_mode=pm)
         for p, nb, s, d, f, m, pm in zip(planes, blocks, strides, dils, fd,
                                          mg, pms)
     )

@@ -177,6 +177,7 @@ def test_rdf_generator_conversion_output_parity(rng):
     assert want_shapes == got_shapes
 
 
+@pytest.mark.slow  # 6-net synthetic .pth -> engine -> forward_test (~2 min)
 def test_full_ckpt_end_to_end_conversion(rng, tmp_path):
     """End-to-end: synthetic 6-net reference-schema .pth (tiny widths) ->
     converter -> engine state; every net converted (zero skips) and the
@@ -232,6 +233,7 @@ def test_full_ckpt_end_to_end_conversion(rng, tmp_path):
         rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # builds the full-width B5 torch mirror (~1 min, CPU)
 def test_nnet_b5_full_width_structure():
     """The converted B5-width tree must exactly match the flax NNET param
     structure (every leaf present, every shape equal) — catches channel

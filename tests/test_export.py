@@ -13,6 +13,10 @@ import pytest
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 sys.path.insert(0, os.path.abspath(TOOLS))
 
+# every test here exports/deserializes the tiny flagship end-to-end —
+# multi-minute compiles each; slow-lane by the README contract
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def exported(tmp_path_factory):

@@ -6,11 +6,13 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 sys.path.insert(0, os.path.abspath(TOOLS))
 
 
+@pytest.mark.slow  # full tiny-engine compile + CLI end-to-end (~2 min)
 def test_inference_tool_end_to_end(tmp_path):
     import cv2
 

@@ -75,6 +75,7 @@ def test_stencil_exact_within_radius_divergent_beyond(rng):
     assert np.abs(got_r2 - want).max() > 1e-3
 
 
+@pytest.mark.slow  # compiles the tiny engine's full forward_test (~2 min)
 def test_probe_uses_forward_test_path(rng):
     """VERDICT r2 weak #6: probe_max_offset must measure the REAL inference
     path — engine-predicted normals feeding G_A2B — not RGB-as-normals. With

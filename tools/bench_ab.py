@@ -28,6 +28,11 @@ CONFIGS = {
     "outres_bn": {"RDFC_OUTRES_VJP": "bn"},
     "outres_in": {"RDFC_OUTRES_VJP": "in"},
     "pallas_in": {"RDFC_OUTRES_VJP": "all", "RDFC_ENABLE_PALLAS_IN": "1"},
+    # round-5: IN kernel restricted to planes where the pipeline can
+    # double-buffer (r4 showed the single-buffered full-res planes were
+    # the regression); isolated from the outres toggles
+    "pallas_in_db": {"RDFC_ENABLE_PALLAS_IN": "1",
+                     "RDFC_PALLAS_IN_DB_ONLY": "1"},
 }
 
 
