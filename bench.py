@@ -68,7 +68,6 @@ def main():
 
         print(f"[bench] first step failed ({type(e).__name__}: {e}); "
               f"retrying with Pallas fast paths disabled", file=sys.stderr)
-        os.environ["RDFC_DISABLE_PALLAS_IN"] = "1"
         os.environ["RDFC_DISABLE_PALLAS_NLSPN_BWD"] = "1"
         engine = build_engine(cfg, is_train=True, steps_per_epoch=100)
         state = engine.init_state(rng, batch)
@@ -108,15 +107,14 @@ def main():
     # self-describing artifact (VERDICT r3 #1): record which optional fast
     # paths were ACTIVE for this measurement so the driver JSON and the
     # README claims can be reconciled without re-running. Defaults follow
-    # the round-4 chip A/B (PERF_AB.jsonl): Pallas IN and the outres VJPs
-    # are OFF (they regressed / were neutral on chip).
+    # the round-4/5 chip A/Bs (PERF_AB.jsonl): the outres VJPs are OFF
+    # (neutral on chip); the Pallas IN and fused-block kernels are
+    # retired entirely (attic/).
     import os
 
     from rdfc_gan_tpu.models.layers import _outres_vjp_disabled
-    from rdfc_gan_tpu.ops.pallas.norm_kernel import wants_pallas
 
     fast_paths = {
-        "pallas_in": wants_pallas((8, 112, 76, 128), "bfloat16", 2, 1),
         "outres_vjp_bn": not _outres_vjp_disabled("bn"),
         "outres_vjp_in": not _outres_vjp_disabled("in"),
         "w_packed": True,  # YAML-default packed set (ops/packed.py)

@@ -218,15 +218,9 @@ def _in_group(x, pack):
 
 def _instance_norm_fwd_impl(x, eps, pack):
     """Returns (y, af) — af the per-PACKED-channel (B, C) f32 scale
-    broadcast (the VJP residual). On TPU, when the (H,W,C-tile) plane fits
-    VMEM, the fused Pallas kernel computes stats + normalization in ONE
-    activation read instead of XLA's reduce-fusion + elementwise-fusion
-    two reads (ops/pallas/norm_kernel.py)."""
-    from ..ops.pallas.norm_kernel import (instance_norm_fwd_pallas,
-                                          wants_pallas)
-
-    if wants_pallas(x.shape, x.dtype, pack, 1):
-        return instance_norm_fwd_pallas(x, eps, pack)
+    broadcast (the VJP residual). One-pass stats (mean + mean-of-squares
+    in a single reduce fusion); a fused Pallas single-read variant was
+    tried and retired A/B-neutral on chip (attic/, PERF_NOTES round 5)."""
     xg, red = _in_group(x, pack)
     mean = jnp.mean(xg.astype(jnp.float32), axis=red)
     mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red)
@@ -261,11 +255,6 @@ def _instance_norm_bwd(eps, pack, res, dy):
     y, af = res
     # exact: y = (x - mu) * a with a = rsqrt(var + eps)  =>
     # dx = a * (dy - E[dy] - y * E[dy * y])   (E over the instance axes)
-    from ..ops.pallas.norm_kernel import (instance_norm_bwd_pallas,
-                                          wants_pallas)
-
-    if wants_pallas(dy.shape, dy.dtype, pack, 2):
-        return (instance_norm_bwd_pallas(dy, y, af, pack),)
     yg, red = _in_group(y, pack)
     dyg, _ = _in_group(dy, pack)
     n = 1

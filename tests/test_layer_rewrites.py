@@ -136,103 +136,3 @@ def test_instance_norm_output_residual_bwd_packed():
 
     np.testing.assert_allclose(np.asarray(jax.grad(f_new)(x)),
                                np.asarray(jax.grad(f_ref)(x)), atol=1e-4)
-
-
-def _force_norm_pallas():
-    """Context: route instance_norm through the Pallas kernels in
-    interpret mode (CPU suite)."""
-    import contextlib
-    import functools
-
-    from jax.experimental import pallas as pl
-
-    import rdfc_gan_tpu.ops.pallas.norm_kernel as nk
-
-    @contextlib.contextmanager
-    def ctx():
-        orig_call, orig_force = pl.pallas_call, nk._FORCE_PALLAS
-        try:
-            pl.pallas_call = functools.partial(orig_call, interpret=True)
-            nk._FORCE_PALLAS = True
-            yield nk
-        finally:
-            pl.pallas_call = orig_call
-            nk._FORCE_PALLAS = orig_force
-
-    return ctx()
-
-
-@pytest.mark.parametrize("pack,shape", [
-    (1, (2, 16, 24, 32)),    # C < 128 (lane-padded tile)
-    (1, (2, 8, 16, 256)),    # C-tiled (2 x 128)
-    (2, (2, 16, 12, 64)),    # W-packed pair stats
-])
-def test_instance_norm_pallas_fwd_matches_xla(pack, shape):
-    rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.normal(size=shape) * 2 + 0.5, jnp.float32)
-    from rdfc_gan_tpu.models.layers import _instance_norm_fwd_impl
-
-    want_y, want_af = _instance_norm_fwd_impl(x, 1e-5, pack)
-    with _force_norm_pallas() as nk:
-        assert nk.wants_pallas(x.shape, x.dtype, pack, 1)
-        got_y, got_af = nk.instance_norm_fwd_pallas(x, 1e-5, pack)
-    np.testing.assert_allclose(got_y, want_y, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(got_af, want_af, rtol=1e-5, atol=1e-6)
-
-
-@pytest.mark.parametrize("pack,shape", [
-    (1, (2, 16, 24, 32)),
-    (2, (2, 16, 12, 64)),
-])
-def test_instance_norm_pallas_grad_matches_xla(pack, shape):
-    """jax.grad through instance_norm with the Pallas fwd+bwd forced ==
-    the XLA output-residual VJP path."""
-    rng = np.random.default_rng(11)
-    x = jnp.asarray(rng.normal(size=shape) * 2 + 0.5, jnp.float32)
-    w = jnp.asarray(rng.normal(size=shape), jnp.float32)
-
-    def loss(z):
-        return jnp.sum(instance_norm(z, pack=pack) * w)
-
-    want = jax.grad(loss)(x)
-    with _force_norm_pallas():
-        got = jax.grad(loss)(x)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
-def test_instance_norm_pallas_dispatch_falls_back():
-    """Shapes that would blow VMEM (or odd channel tiling) must refuse."""
-    import rdfc_gan_tpu.ops.pallas.norm_kernel as nk
-
-    # full-res unpacked C=64: lane-padded plane = 17.4 MB > budget
-    assert nk._plan((8, 224, 304, 64), jnp.bfloat16, 1, 1) is None
-    # full-res W-packed C=128 fits the fwd (one plane) but not the bwd (two)
-    assert nk._plan((8, 224, 152, 128), jnp.bfloat16, 2, 1) is not None
-    assert nk._plan((8, 224, 152, 128), jnp.bfloat16, 2, 2) is None
-    # C not a multiple of 128 above 128 -> refuse
-    assert nk._plan((2, 16, 16, 192), jnp.float32, 1, 1) is None
-
-
-def test_instance_norm_probe_keyed_per_shape_class(monkeypatch):
-    """A lowering failure of ONE (dtype, pack, shape) instance must gate
-    only that shape class — the r4 fused-block lesson (a toy probe passed
-    while the real shape failed) and ADVICE r3 (one global verdict masked
-    per-instance regressions). Fakes a per-instance failure and checks the
-    verdict cache keys it independently."""
-    import rdfc_gan_tpu.ops.pallas.norm_kernel as nk
-
-    def fake_fwd(v, eps, pack):
-        if v.shape[1] == 20:  # the "bad" shape class
-            raise ValueError("fake Mosaic lowering failure")
-        return v, jnp.zeros((v.shape[0], v.shape[3]), jnp.float32)
-
-    monkeypatch.setattr(nk, "instance_norm_fwd_pallas", fake_fwd)
-    monkeypatch.setattr(nk, "_LOWERING_OK", {})
-    assert nk._lowering_ok(jnp.float32, 1, (2, 16, 16, 128), 1)
-    assert not nk._lowering_ok(jnp.float32, 1, (2, 20, 16, 128), 1)
-    # both verdicts recorded, keyed by their own shape class
-    assert nk._LOWERING_OK[("float32", 1, 16, 16, 128, 1)] is True
-    assert nk._LOWERING_OK[("float32", 1, 20, 16, 128, 1)] is False
-    # the good class is not re-probed (cache hit) after the bad one failed
-    monkeypatch.setattr(nk, "instance_norm_fwd_pallas", None)
-    assert nk._lowering_ok(jnp.float32, 1, (2, 16, 16, 128), 1)

@@ -27,13 +27,10 @@ CONFIGS = {
     "outres": {"RDFC_OUTRES_VJP": "all"},
     "outres_bn": {"RDFC_OUTRES_VJP": "bn"},
     "outres_in": {"RDFC_OUTRES_VJP": "in"},
-    "pallas_in": {"RDFC_OUTRES_VJP": "all", "RDFC_ENABLE_PALLAS_IN": "1"},
-    # round-5: IN kernel restricted to planes where the pipeline can
-    # double-buffer (r4 showed the single-buffered full-res planes were
-    # the regression); isolated from the outres toggles
-    "pallas_in_db": {"RDFC_ENABLE_PALLAS_IN": "1",
-                     "RDFC_PALLAS_IN_DB_ONLY": "1"},
 }
+# retired tags (code now in attic/): "pallas_in" (r4: regressed -23 ms),
+# "pallas_in_db" (r5: double-buffer-only mode, 255.7 vs 255.8 default —
+# exactly neutral), fused_blocks (r4: 298.1 vs 254.8)
 
 
 def main():

@@ -7,7 +7,7 @@ the entry computation whose output is consumed by two or more compute
 fusions — each extra consumer is (approximately) one extra full HBM read
 of that buffer. The classic offender is a norm chain: conv output read by
 the stats reduce-fusion AND the normalize elementwise-fusion (fixed by
-ops/pallas/norm_kernel.py); the backward's dy/y double-reads are the same
+attic/norm_kernel.py, retired); the backward's dy/y double-reads are the same
 shape (fixed by the output-residual VJPs in models/layers.py).
 
 Approximations, so treat the output as a RANKING not a byte count:
