@@ -112,7 +112,6 @@ def main():
           f"{'floor ms':>9s} {'chip ms':>9s}")
 
     key = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((2,), jnp.float32)
     tot = {"fwd": 0.0, "grad": 0.0}
     tot_fl = {"fwd": 0.0, "grad": 0.0}
     for name, (mod, shp) in shapes.items():
@@ -151,8 +150,9 @@ def main():
                 fl, by = ca_of(f, params, *xs)
             ms = float("nan")
             if not args.skip_time:
-                ms = chain_timer(lambda d, p, *a: f(p, *a), args.reps,
-                                 dummy, params, *xs)
+                # params ride the chain_timer params slot; the carry is
+                # injected into xs[0] (first input array) to serialize reps
+                ms = chain_timer(f, args.reps, params, *xs)
             if ms == ms:
                 tot[kind] += ms
             if by == by:
