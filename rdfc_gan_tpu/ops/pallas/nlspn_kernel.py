@@ -309,31 +309,37 @@ def _stack_dtype(M):
     return jnp.bfloat16 if M.dtype == jnp.bfloat16 else jnp.float32
 
 
-# one-time lowering self-probe verdict for the backward kernels (None =
-# not yet probed) — a failure falls back to the XLA two-phase VJP instead
-# of failing every NLSPN train step on that chip/toolchain.
-_BWD_LOWERING_OK = None
+# lowering self-probe verdicts for the backward kernels, keyed per kernel
+# INSTANTIATION (H, W, S, T, preserve, stack dtype) — a global verdict from
+# a toy shape can pass while the real shape fails (the r4 fused-block B=1
+# probe lesson; ADVICE r3). The probe compiles the REAL requested shape of
+# the isolated reverse-chain kernel (seconds, once per shape class); a
+# failure falls back to the XLA two-phase VJP for that shape only.
+_BWD_LOWERING_OK: dict = {}
 
 
-def _bwd_lowering_ok() -> bool:
-    global _BWD_LOWERING_OK
-    if _BWD_LOWERING_OK is None:
+def _bwd_lowering_ok(H: int, W: int, R: int, T: int, preserve: bool,
+                     stack_dtype) -> bool:
+    lo, hi = shift_window(R)
+    S = hi - lo + 1
+    key = (H, W, S, T, preserve, jnp.dtype(stack_dtype).name)
+    if key not in _BWD_LOWERING_OK:
         try:
-            g0 = jnp.zeros((1, 16, 16), jnp.float32)
-            M = jnp.zeros((1, 8, 8, 16, 16), jnp.bfloat16)
-            fm = jnp.zeros((1, 16, 16), jnp.float32)
+            g0 = jnp.zeros((1, H, W), jnp.float32)
+            M = jnp.zeros((1, S, S, H, W), jnp.bfloat16)
+            fm = jnp.zeros((1, H, W), jnp.float32)
             jax.jit(lambda a, b, c: _pallas_reverse_chain(
-                a, b, c, 3, 2, True, jnp.bfloat16)[0]) \
+                a, b, c, T, R, preserve, stack_dtype)[0]) \
                 .lower(g0, M, fm).compile()
-            _BWD_LOWERING_OK = True
+            _BWD_LOWERING_OK[key] = True
         except Exception as e:  # pragma: no cover - chip/toolchain specific
             import sys
 
-            print(f"nlspn_kernel: backward probe failed to compile "
-                  f"({type(e).__name__}); using the XLA two-phase VJP",
-                  file=sys.stderr)
-            _BWD_LOWERING_OK = False
-    return _BWD_LOWERING_OK
+            print(f"nlspn_kernel: backward probe failed to compile at "
+                  f"{key} ({type(e).__name__}); using the XLA two-phase "
+                  f"VJP for this shape", file=sys.stderr)
+            _BWD_LOWERING_OK[key] = False
+    return _BWD_LOWERING_OK[key]
 
 
 def _use_pallas_bwd(M, prop_time, R, preserve):
@@ -351,7 +357,7 @@ def _use_pallas_bwd(M, prop_time, R, preserve):
         # only reachable with interpret-mode pallas monkeypatched in
         # (the primal dispatch already gated on TPU) — no probe needed
         return True
-    return _bwd_lowering_ok()
+    return _bwd_lowering_ok(H, W, R, prop_time, preserve, _stack_dtype(M))
 
 
 def _fwd(feat_init, M, feat_fix, prop_time, R, preserve_input):

@@ -340,3 +340,33 @@ def test_pallas_backward_kernels_bf16_stacks(rng):
                                err_msg="M (term-scale atol)")
     np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]),
                                rtol=2e-3, atol=2e-4, err_msg="fix")
+
+
+def test_bwd_probe_keyed_per_kernel_instantiation(monkeypatch):
+    """A lowering failure of ONE (H, W, S, T, preserve, dtype) backward
+    instantiation must gate only that shape class — the r4 fused-block
+    lesson (a toy probe passed while the real shape failed; ADVICE r3).
+    Fakes a per-shape compile failure and checks the verdict cache keys
+    it independently and caches both verdicts."""
+    import rdfc_gan_tpu.ops.pallas.nlspn_kernel as nk
+
+    calls = []
+
+    def fake_chain(g0, M, fm, T, R, preserve, stack_dtype):
+        calls.append(g0.shape)
+        if g0.shape[1] == 20:  # the "bad" H class
+            raise ValueError("fake Mosaic lowering failure")
+        return jnp.zeros((T,) + g0.shape, jnp.float32), \
+            jnp.zeros(g0.shape, jnp.float32)
+
+    monkeypatch.setattr(nk, "_pallas_reverse_chain", fake_chain)
+    monkeypatch.setattr(nk, "_BWD_LOWERING_OK", {})
+    assert nk._bwd_lowering_ok(16, 16, 2, 3, True, jnp.bfloat16)
+    assert not nk._bwd_lowering_ok(20, 16, 2, 3, True, jnp.bfloat16)
+    # both verdicts recorded under their own keys (S = 2R+4 = 8)
+    assert nk._BWD_LOWERING_OK[(16, 16, 8, 3, True, "bfloat16")] is True
+    assert nk._BWD_LOWERING_OK[(20, 16, 8, 3, True, "bfloat16")] is False
+    # the good class is a cache hit after the bad one failed (no re-probe)
+    n = len(calls)
+    assert nk._bwd_lowering_ok(16, 16, 2, 3, True, jnp.bfloat16)
+    assert len(calls) == n
