@@ -5,6 +5,7 @@ carries offsets larger than the stencil radius."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from rdfc_gan_tpu.models.rdf_generator import RDFGenerator
 from rdfc_gan_tpu.ops.nlspn_guard import (MAX_STENCIL_RADIUS,
