@@ -94,20 +94,34 @@ class Bottleneck(nn.Module):
             return BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.axis_name, dtype=z.dtype)(z)
 
+        # convs carry their auto-assigned names explicitly so the dilated
+        # 3x3 can swap compute paths (tap-GEMM rewrite, ops/tapconv.py)
+        # without moving any parameter in the variable tree
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=kaiming_init)(x)
+                      kernel_init=kaiming_init, name="Conv_0")(x)
         out = nn.relu(bn(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=self.dilation, kernel_dilation=(self.dilation,) * 2,
-                      use_bias=False, kernel_init=kaiming_init)(out)
+        from ..ops.tapconv import TapDilatedConv3x3, tapconv_enabled
+
+        if self.dilation > 1 and self.stride == 1 and tapconv_enabled():
+            # MXU-geometry rewrite of the dilated conv (9 shifted pointwise
+            # GEMMs) — identical math/params; docs/PERF_NOTES.md round 5
+            out = TapDilatedConv3x3(self.planes, dilation=self.dilation,
+                                    kernel_init=kaiming_init,
+                                    name="Conv_1")(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                          padding=self.dilation,
+                          kernel_dilation=(self.dilation,) * 2,
+                          use_bias=False, kernel_init=kaiming_init,
+                          name="Conv_1")(out)
         out = nn.relu(bn(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=kaiming_init)(out)
+                      kernel_init=kaiming_init, name="Conv_2")(out)
         out = bn(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             x = nn.Conv(self.planes * self.expansion, (1, 1),
                         strides=(self.stride,) * 2, use_bias=False,
-                        kernel_init=kaiming_init)(x)
+                        kernel_init=kaiming_init, name="Conv_3")(x)
             x = bn(x)
         return nn.relu(out + x)
 

@@ -76,6 +76,30 @@ def test_export_is_deterministic_vs_live(exported):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_jit_wrapped_serving_call_matches_raw(exported):
+    """The recommended serving loop — ``jax.jit(restored.call)`` traced
+    once, then cached-dispatch per request (kills the +57 ms/call eager
+    re-flatten overhead, tools/bench_export_latency.py) — must produce
+    the same outputs as the raw eager ``restored.call``."""
+    import jax
+    from jax import export as jexport
+
+    with open(exported, "rb") as f:
+        restored = jexport.deserialize(f.read())
+    flat = [np.random.default_rng(3).standard_normal(a.shape).astype(a.dtype)
+            for a in restored.in_avals]
+    args = restored.in_tree.unflatten(flat)
+    raw = restored.call(*args[0], **args[1])
+    serve = jax.jit(restored.call)
+    jitted = serve(*args[0], **args[1])
+    jitted2 = serve(*args[0], **args[1])  # second call = cached fast path
+    for k in raw:
+        np.testing.assert_allclose(np.asarray(jitted[k]), np.asarray(raw[k]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(jitted2[k]),
+                                      np.asarray(jitted[k]))
+
+
 def test_depth_only_export_prunes_g_label_and_matches(tmp_path):
     """--depth_only: G_label pruned from the calling convention, artifact
     smaller, pred_depth identical to the full path (it never consumed the

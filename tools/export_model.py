@@ -21,6 +21,13 @@ Design notes (TPU-first):
   artifact.
 - Shapes are static (XLA semantics); pick the serving batch at export
   time. Multiple batch sizes = multiple exports of the same checkpoint.
+- Serving loop: wrap the deserialized program ONCE in ``jax.jit`` —
+  ``serve = jax.jit(jax.export.deserialize(blob).call)`` — and call
+  ``serve(params, stats, rgb, depth)`` per request. Raw ``restored.call``
+  re-flattens the ~10^3-leaf state pytree and re-binds the exported
+  program through eager dispatch on every call (+~57 ms/call measured,
+  tools/bench_export_latency.py); the jit wrapper traces once and later
+  calls take the cached C++ fast path at live-jit latency.
 
 Usage:
   python tools/export_model.py --model_cfg_path configs/..yaml \
@@ -131,7 +138,9 @@ def main(argv=None) -> int:
 
     if args.check:
         restored = jexport.deserialize(blob)
-        got = restored.call(params, stats, rgb, depth)
+        # the recommended serving wrapper (see module docstring)
+        serve = jax.jit(restored.call)
+        got = serve(params, stats, rgb, depth)
         want = fn(params, stats, rgb, depth)
         import numpy as np
 
