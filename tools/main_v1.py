@@ -300,6 +300,7 @@ def main(argv=None):
         return 0
 
     avg = MovingAverage(cfg.log_interval)
+    pending_stats = []
     it = 0
     for epoch in range(start_epoch, cfg.n_epochs):
         train_loader.set_epoch(epoch)
@@ -310,8 +311,13 @@ def main(argv=None):
                 state, batch, jax.random.fold_in(root_key, it),
                 update_g=update_g)
             it += 1
-            avg.update({k: float(v) for k, v in stats.items()})
+            # batched readback at the log boundary (one transfer per
+            # window, not one RTT per scalar per step — see train.py)
+            pending_stats.append(stats)
             if it % cfg.log_interval == 0:
+                for s in jax.device_get(pending_stats):
+                    avg.update(s)
+                pending_stats.clear()
                 msg = " ".join(f"{k}={v:.4f}" for k, v in
                                sorted(avg.mean().items()))
                 logger.log(f"epoch {epoch} iter {i} {msg}")

@@ -101,6 +101,7 @@ def main(argv=None):
 
     evaluator = Eval(val_loader)
     avg = MovingAverage(window=cfg.log_interval)
+    pending_stats = []
     minimize = cfg.criterion_to_get_best_ckpt in ("RMSE", "MAE", "iRMSE",
                                                   "iMAE", "REL")
     best = float("inf") if minimize else float("-inf")
@@ -123,8 +124,17 @@ def main(argv=None):
                     jax.block_until_ready(state)
             timer.tick()
             it += 1
-            avg.update({k: float(v) for k, v in stats.items()})
+            # Defer the stats readback: float(v) per device scalar here
+            # would cost one device->host round-trip per value per step
+            # (~25 RTTs/step — on a tunneled backend that, not compute,
+            # bounds small-step throughput). Buffer the device trees and
+            # fetch the whole window in ONE transfer at the log boundary;
+            # between logs the loop enqueues steps fully async.
+            pending_stats.append(stats)
             if it % cfg.log_interval == 0:
+                for s in jax.device_get(pending_stats):
+                    avg.update(s)
+                pending_stats.clear()
                 m = avg.mean()
                 r = cfg.model.get("G_A2B", {}).get("nlspn_offset_radius", 2)
                 if m.get("nlspn_max_offset", 0.0) > r:
